@@ -8,9 +8,11 @@ euclidean distance field from it (SURVEY.md §2a "Map loader & assets",
 
 TPU-native design: host-side parsing produces a ``TrackMap`` whose occupancy
 and EDF live as jnp arrays (shipped to HBM once per map mutation). The EDF is
-padded on the right/bottom to lane-aligned dimensions so downstream kernels
-and XLA gathers see aligned shapes; padding cells are marked occupied so rays
-terminate at the original boundary.
+padded on the right/top to lane-aligned dimensions so downstream kernels and
+XLA gathers see aligned shapes. Padding cells are FREE (a ray leaving the
+real map must return max_range, exactly like the reference's out-of-map
+exit — occupied padding would fake walls at two edges); consumers test
+in-bounds against the real ``(height, width)``, not the padded shape.
 """
 
 from __future__ import annotations
@@ -157,7 +159,7 @@ def build_track_map(occupancy: np.ndarray, resolution: float,
     """
     h, w = occupancy.shape
     hp, wp = _align_up(h), _align_up(w)
-    occ_p = np.ones((hp, wp), dtype=np.float32)  # pad = occupied
+    occ_p = np.zeros((hp, wp), dtype=np.float32)  # pad = free (see module doc)
     occ_p[:h, :w] = occupancy
     field = edt(occ_p >= occupied_thresh, resolution=resolution)
     return TrackMap(

@@ -1,0 +1,248 @@
+"""Occupancy-boundary segment extraction ("compiled geometry").
+
+TPU-native performance layer with no reference equivalent (SURVEY.md §2b/§7
+"hard parts": the DT march is gather-bound, and TPUs have no vector-gather
+hardware — measured ~1.4e8 gathers/s on v5e, capping a gather-based march at
+a few Mrays/s/chip). The fix is to *compile the map into geometry once at
+load time*: the boundary of the occupied-cell union is an axis-aligned
+polygon set; raycasting against its segments is dense VPU/MXU-friendly math
+with zero gathers in the hot loop.
+
+Semantics contract (tested in tests/test_segments.py):
+  * The segment raycast computes the EXACT first intersection of the ray
+    with the occupied-cell union boundary (t*).
+  * The reference DT sphere-trace terminates one sample inside the first
+    occupied cell it reaches, so its range T satisfies
+    ``t* <= T <= t* + O(resolution)`` (it never undershoots the boundary by
+    more than float round-off, and overshoots by at most ~the cell
+    diagonal). The segment backend is therefore reference-allclose at
+    tolerance ~2 cells, and exactly matches the *geometry* oracle at 1e-5.
+
+Everything here is host-side init-time NumPy (like the reference's EDT
+precompute); outputs are padded, lane-aligned device arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_LANE = 128
+# Segment params are packed as 4 rows: [p (fixed coord), lo, hi, is_vertical]
+# Vertical segment:   x = p, y in [lo, hi]
+# Horizontal segment: y = p, x in [lo, hi]
+
+
+def _merge_runs(mask_2d: np.ndarray):
+    """Given a boolean edge mask (rows = fixed index, cols = run axis),
+    return (fixed_idx, start, stop) arrays of maximal consecutive runs."""
+    h, w = mask_2d.shape
+    padded = np.zeros((h, w + 2), dtype=bool)
+    padded[:, 1:-1] = mask_2d
+    d = np.diff(padded.astype(np.int8), axis=1)
+    fi_s, starts = np.where(d == 1)
+    fi_e, stops = np.where(d == -1)
+    # starts/stops are aligned per row by construction
+    return fi_s, starts, stops
+
+
+def extract_segments(occupancy: np.ndarray, resolution: float,
+                     origin_xy=(0.0, 0.0), occupied_thresh: float = 0.5
+                     ) -> np.ndarray:
+    """Extract merged axis-aligned boundary segments in world coordinates.
+
+    occupancy: (H, W) array; cell (i, j) spans world
+    [ox + j*res, ox + (j+1)*res] x [oy + i*res, oy + (i+1)*res].
+
+    Returns (K, 4) float64: [p, lo, hi, is_vertical]; every segment has a
+    free cell on one side and an occupied cell (or nothing, at array edges)
+    on the other.
+    """
+    occ = np.asarray(occupancy) >= occupied_thresh
+    h, w = occ.shape
+    ox, oy = float(origin_xy[0]), float(origin_xy[1])
+    segs = []
+
+    # Vertical edges between columns j-1 and j (boundary at x = j):
+    # occupancy changes along x. Include outer array edges.
+    occ_x = np.zeros((h, w + 1), dtype=bool)
+    occ_x[:, :] = np.diff(
+        np.concatenate([np.zeros((h, 1), bool), occ,
+                        np.zeros((h, 1), bool)], axis=1), axis=1) != 0
+    # For merging, runs go along y for each fixed x-boundary -> transpose.
+    fi, st, sp = _merge_runs(occ_x.T)   # fi = x boundary index, runs over y
+    for x_idx, y0, y1 in zip(fi, st, sp):
+        segs.append((ox + x_idx * resolution,
+                     oy + y0 * resolution,
+                     oy + y1 * resolution, 1.0))
+
+    # Horizontal edges between rows i-1 and i (boundary at y = i).
+    occ_y = np.diff(
+        np.concatenate([np.zeros((1, w), bool), occ,
+                        np.zeros((1, w), bool)], axis=0), axis=0) != 0
+    fi, st, sp = _merge_runs(occ_y)     # fi = y boundary index, runs over x
+    for y_idx, x0, x1 in zip(fi, st, sp):
+        segs.append((oy + y_idx * resolution,
+                     ox + x0 * resolution,
+                     ox + x1 * resolution, 0.0))
+
+    if not segs:
+        return np.zeros((0, 4), np.float64)
+    return np.asarray(segs, np.float64)
+
+
+# Sentinel placement for padding segments: far away so they never intersect.
+_FAR = 1.0e9
+
+
+def pad_segments(segs: np.ndarray, align: int = _LANE) -> np.ndarray:
+    """Pad segment count to a lane multiple with never-hit sentinels.
+
+    Sentinel = empty run interval (lo > hi): the along-coordinate test
+    ``lo <= a <= hi`` can never pass, independent of float rounding.
+    """
+    k = len(segs)
+    kp = max(align, ((k + align - 1) // align) * align)
+    out = np.zeros((kp, 4), np.float64)
+    out[:, 0] = 0.0
+    out[:, 1] = 1.0    # lo
+    out[:, 2] = -1.0   # hi  -> empty interval
+    out[:, 3] = 1.0
+    out[:k] = segs
+    return out
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SegmentMap:
+    """Device-resident compiled geometry for the dense raycast backend.
+
+    ``params``: (4, K) float32 — rows [p, lo, hi, is_vertical], transposed
+    so the segment axis is the (TPU lane) minor axis.
+    ``tiles``: optional culling table, (T, 4, K_tile) float32 — per coarse
+    map tile, the (padded) segments within ``max_range`` of that tile.
+    """
+
+    params: Any
+    n_segments: int
+    tiles: Any = None
+    tile_size: float = 0.0           # meters (static)
+    tiles_shape: Tuple[int, int] = (0, 0)  # (rows, cols) of the tile grid
+    tile_origin: Tuple[float, float] = (0.0, 0.0)
+    # Real map extent (x0, x1, y0, y1): poses outside return max_range, the
+    # reference's immediate out-of-map behavior (oracle trace_ray).
+    extent: Tuple[float, float, float, float] = (
+        -_FAR, _FAR, -_FAR, _FAR)
+
+    def tree_flatten(self):
+        return (self.params, self.tiles), (
+            self.n_segments, self.tile_size, self.tiles_shape,
+            self.tile_origin, self.extent)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        params, tiles = leaves
+        n, ts, tshape, torg, ext = aux
+        return cls(params=params, tiles=tiles, n_segments=n, tile_size=ts,
+                   tiles_shape=tshape, tile_origin=torg, extent=ext)
+
+
+def _segment_tile_distance(segs: np.ndarray, cx, cy) -> np.ndarray:
+    """Distance from point (cx, cy) to each axis-aligned segment."""
+    p, lo, hi, isv = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    # along = coordinate along the run axis, perp = fixed-coord axis
+    along = np.where(isv > 0.5, cy, cx)
+    perp = np.where(isv > 0.5, cx, cy)
+    d_along = np.maximum(np.maximum(lo - along, along - hi), 0.0)
+    d_perp = np.abs(perp - p)
+    return np.hypot(d_along, d_perp)
+
+
+def build_segment_map(occupancy: np.ndarray, resolution: float,
+                      origin_xy=(0.0, 0.0), occupied_thresh: float = 0.5,
+                      max_range: float = 10.0, tile_size: float = 0.0,
+                      k_tile: int = 0, real_hw=None) -> SegmentMap:
+    """Extract boundary segments and (optionally) build per-tile cull lists.
+
+    With ``tile_size > 0``, the map is covered by square tiles; each tile
+    stores (padded to ``k_tile``, lane-aligned) the segments whose distance
+    to the tile center is below ``max_range + tile_diag/2``. At scan time an
+    agent only intersects its tile's list — the work per ray drops from K
+    to K_tile with zero hot-loop gathers (one tile row is dynamically
+    sliced per agent block).
+    """
+    segs = extract_segments(occupancy, resolution, origin_xy,
+                            occupied_thresh)
+    padded = pad_segments(segs)
+    out_params = jnp.asarray(padded.T, jnp.float32)  # (4, K)
+    rh, rw = real_hw if real_hw is not None else occupancy.shape
+    ox0, oy0 = float(origin_xy[0]), float(origin_xy[1])
+    extent = (ox0, ox0 + rw * resolution, oy0, oy0 + rh * resolution)
+
+    tiles = None
+    tiles_shape = (0, 0)
+    tile_origin = (0.0, 0.0)
+    if tile_size > 0.0 and len(segs):
+        h, w = occupancy.shape
+        ox, oy = float(origin_xy[0]), float(origin_xy[1])
+        ext_x, ext_y = w * resolution, h * resolution
+        nc = int(np.ceil(ext_x / tile_size))
+        nr = int(np.ceil(ext_y / tile_size))
+        reach = max_range + tile_size * np.sqrt(2) / 2 + resolution
+        lists = []
+        k_needed = 0
+        sel_idx = []
+        for r in range(nr):
+            for c in range(nc):
+                cx = ox + (c + 0.5) * tile_size
+                cy = oy + (r + 0.5) * tile_size
+                d = _segment_tile_distance(segs, cx, cy)
+                idx = np.where(d <= reach)[0]
+                sel_idx.append(idx)
+                k_needed = max(k_needed, len(idx))
+        if k_tile <= 0:
+            k_tile = max(_LANE, ((k_needed + _LANE - 1) // _LANE) * _LANE)
+        for idx in sel_idx:
+            # Same never-hit sentinel as pad_segments: empty run interval.
+            block = np.zeros((k_tile, 4), np.float64)
+            block[:, 1] = 1.0
+            block[:, 2] = -1.0
+            block[:, 3] = 1.0
+            take = idx[:k_tile]
+            block[: len(take)] = segs[take]
+            lists.append(block.T)     # (4, k_tile)
+        tiles = jnp.asarray(np.stack(lists), jnp.float32)  # (T, 4, K_tile)
+        tiles_shape = (nr, nc)
+        tile_origin = (ox, oy)
+
+    return SegmentMap(params=out_params, n_segments=len(segs), tiles=tiles,
+                      tile_size=float(tile_size), tiles_shape=tiles_shape,
+                      tile_origin=tile_origin, extent=extent)
+
+
+def raycast_segments_numpy(segs: np.ndarray, x, y, cos_t, sin_t,
+                           max_range: float) -> np.ndarray:
+    """Exact geometric oracle: first-hit distance per ray (vectorized).
+
+    segs: (K, 4) [p, lo, hi, is_vertical]; ray args broadcastable 1D.
+    """
+    x = np.atleast_1d(np.asarray(x, np.float64))
+    y, cos_t, sin_t = (np.broadcast_to(np.asarray(a, np.float64), x.shape)
+                       for a in (y, cos_t, sin_t))
+    p, lo, hi, isv = (segs[:, i] for i in range(4))
+    isv = isv > 0.5
+    o_perp = np.where(isv, x[:, None], y[:, None])
+    o_along = np.where(isv, y[:, None], x[:, None])
+    u_perp = np.where(isv, cos_t[:, None], sin_t[:, None])
+    u_along = np.where(isv, sin_t[:, None], cos_t[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (p[None, :] - o_perp) / u_perp
+    a = o_along + t * u_along
+    valid = (t >= 0.0) & (a >= lo[None, :]) & (a <= hi[None, :]) \
+        & np.isfinite(t)
+    t = np.where(valid, t, np.inf)
+    return np.minimum(t.min(axis=1), max_range)

@@ -1,0 +1,183 @@
+"""Dense segment-intersection raycast (XLA) — the zero-gather hot path.
+
+Companion to ``maps/segments.py`` (see its module doc for the semantics
+contract vs the reference DT march). Each ray's range is the min over all
+boundary segments of the exact ray/segment intersection distance — a dense
+(rays x segments) elementwise computation + min-reduction that maps onto
+the TPU VPU with no gathers, unlike the DT march (``raymarch_xla.py``).
+
+Two variants:
+  * ``raycast_all``: every ray against the full padded segment set.
+  * ``raycast_tiled``: agents are binned into coarse map tiles; each agent
+    block intersects only its tile's culled segment list (built at map
+    load). One small row-gather per agent outside the hot loop.
+
+Both are differentiable by plain ``jax.grad``: XLA's autodiff of
+``min((p - o)/u)`` yields the exact analytic pose gradient at the hit
+segment (the implicit-surface form of SURVEY.md §7 step 5 — for an
+axis-aligned hit segment the surface normal is the fixed axis, so autodiff
+and the analytic formula coincide).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .raymarch_xla import beam_angles
+
+import numpy as _np
+
+_BIG = _np.float32(3.0e38)  # plain numpy: no device array at import time
+
+
+def _fit_chunk(k: int, chunk: int) -> int:
+    """Largest multiple of 128 <= chunk that divides k (k is 128-aligned)."""
+    chunk = min(chunk, k)
+    while k % chunk:
+        chunk -= 128
+    return max(chunk, 128)
+
+
+def _min_t_chunk(seg_chunk, x, y, cos_t, sin_t, max_range):
+    """Min intersection distance over one (4, KC) segment chunk.
+
+    Ray args have any common shape S; returns shape S. The (S..., KC)
+    intermediate stays inside one XLA fusion (elementwise -> reduce), so it
+    is never materialized in HBM.
+    """
+    p = seg_chunk[0]
+    lo = seg_chunk[1]
+    hi = seg_chunk[2]
+    isv = seg_chunk[3] > 0.5
+
+    o_perp = jnp.where(isv, x[..., None], y[..., None])
+    o_along = jnp.where(isv, y[..., None], x[..., None])
+    u_perp = jnp.where(isv, cos_t[..., None], sin_t[..., None])
+    u_along = jnp.where(isv, sin_t[..., None], cos_t[..., None])
+
+    u_safe = jnp.where(u_perp == 0.0, 1e-30, u_perp)
+    t = (p - o_perp) / u_safe
+    a = o_along + t * u_along
+    valid = (t >= 0.0) & (a >= lo) & (a <= hi) & (u_perp != 0.0)
+    t = jnp.where(valid, t, _BIG)
+    return jnp.min(t, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def raycast_all(segment_params, x, y, cos_t, sin_t, max_range=10.0,
+                chunk: int = 1024):
+    """Raycast against the full segment set.
+
+    Args:
+      segment_params: (4, K) float32, K lane-aligned (maps/segments.py).
+      x, y, cos_t, sin_t: ray origin/direction arrays, any common shape S.
+      chunk: static K-chunk size for the min-reduction scan (bounds the
+        fused intermediate to |S| * chunk lanes).
+
+    Returns:
+      ranges, shape S, clamped to max_range.
+    """
+    k = segment_params.shape[1]
+    chunk = _fit_chunk(k, chunk)
+    n_chunks = k // chunk
+    chunks = segment_params.reshape(4, n_chunks, chunk).transpose(1, 0, 2)
+
+    def body(best, seg_chunk):
+        t = _min_t_chunk(seg_chunk, x, y, cos_t, sin_t, max_range)
+        return jnp.minimum(best, t), None
+
+    init = jnp.full(jnp.shape(x), _BIG)
+    best, _ = jax.lax.scan(body, init, chunks)
+    return jnp.minimum(best, max_range)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def raycast_tiled(tiles, tiles_shape, tile_size, tile_origin,
+                  x0, y0, x, y, cos_t, sin_t, max_range=10.0,
+                  chunk: int = 512):
+    """Raycast with per-agent tile culling.
+
+    Args:
+      tiles: (T, 4, K_tile) per-tile culled segment lists.
+      tiles_shape: (rows, cols) of the tile grid (python ints).
+      tile_size, tile_origin: tile geometry (meters).
+      x0, y0: agent positions, shape (A,) — used only for tile lookup.
+      x, y, cos_t, sin_t: ray arrays of shape (A, B).
+
+    Returns:
+      ranges (A, B).
+    """
+    nr, nc = tiles_shape
+    tox, toy = tile_origin
+    ci = jnp.clip(((x0 - tox) / tile_size).astype(jnp.int32), 0, nc - 1)
+    ri = jnp.clip(((y0 - toy) / tile_size).astype(jnp.int32), 0, nr - 1)
+    tid = ri * nc + ci
+    agent_segs = jnp.take(tiles, tid, axis=0)      # (A, 4, K_tile)
+
+    k = tiles.shape[2]
+    chunk = _fit_chunk(k, chunk)
+    n_chunks = k // chunk
+    # (A, 4, K) -> (n_chunks, A, 4, chunk) for the reduction scan
+    ch = agent_segs.reshape(x0.shape[0], 4, n_chunks, chunk)
+    ch = ch.transpose(2, 0, 1, 3)
+
+    def body(best, seg_chunk):
+        # seg_chunk: (A, 4, chunk); rays (A, B): broadcast per-agent params
+        p = seg_chunk[:, 0][:, None, :]
+        lo = seg_chunk[:, 1][:, None, :]
+        hi = seg_chunk[:, 2][:, None, :]
+        isv = seg_chunk[:, 3][:, None, :] > 0.5
+        o_perp = jnp.where(isv, x[..., None], y[..., None])
+        o_along = jnp.where(isv, y[..., None], x[..., None])
+        u_perp = jnp.where(isv, cos_t[..., None], sin_t[..., None])
+        u_along = jnp.where(isv, sin_t[..., None], cos_t[..., None])
+        u_safe = jnp.where(u_perp == 0.0, 1e-30, u_perp)
+        t = (p - o_perp) / u_safe
+        a = o_along + t * u_along
+        valid = (t >= 0.0) & (a >= lo) & (a <= hi) & (u_perp != 0.0)
+        t = jnp.where(valid, t, _BIG)
+        return jnp.minimum(best, jnp.min(t, axis=-1)), None
+
+    init = jnp.full(jnp.shape(x), _BIG)
+    best, _ = jax.lax.scan(body, init, ch)
+    return jnp.minimum(best, max_range)
+
+
+def scan_poses_segments(segmap, poses, num_beams: int = 1080,
+                        fov: float = 4.712388980384690, max_range=10.0,
+                        theta_discretization: int = 0,
+                        use_tiles: bool = True) -> jnp.ndarray:
+    """Full lidar scans for poses (..., 3) via the segment backend."""
+    poses = jnp.asarray(poses)
+    batch = poses.shape[:-1]
+    poses2 = poses.reshape(-1, 3)
+    x = poses2[:, 0:1]
+    y = poses2[:, 1:2]
+    th = poses2[:, 2:3]
+    offs = beam_angles(num_beams, fov)
+    ang = th + offs
+    if theta_discretization:
+        two_pi = 2.0 * jnp.pi
+        idx = jnp.floor((ang % two_pi) / two_pi * theta_discretization)
+        idx = jnp.clip(idx.astype(jnp.int32), 0, theta_discretization - 1)
+        ang = idx * (two_pi / theta_discretization)
+    ct, st = jnp.cos(ang), jnp.sin(ang)
+    xb = jnp.broadcast_to(x, ang.shape)
+    yb = jnp.broadcast_to(y, ang.shape)
+    if use_tiles and segmap.tiles is not None:
+        r = raycast_tiled(segmap.tiles, segmap.tiles_shape,
+                          segmap.tile_size, segmap.tile_origin,
+                          poses2[:, 0], poses2[:, 1], xb, yb, ct, st,
+                          max_range=max_range)
+    else:
+        r = raycast_all(segmap.params, xb, yb, ct, st, max_range=max_range)
+    # Reference semantics: a scan from outside the real map is all max_range
+    # (the oracle's immediate out-of-map exit).
+    ex0, ex1, ey0, ey1 = segmap.extent
+    inside = ((poses2[:, 0] >= ex0) & (poses2[:, 0] < ex1)
+              & (poses2[:, 1] >= ey0) & (poses2[:, 1] < ey1))
+    r = jnp.where(inside[:, None], r, max_range)
+    return r.reshape(*batch, num_beams)

@@ -7,12 +7,15 @@ notes (measured on TPU v5e, see BASELINE.md):
 * The reference's data-dependent ``while d > eps`` becomes a **fixed-trip
   ``lax.scan``** with an alive mask — all rays march in lockstep, finished
   rays step by zero. Static shapes, no divergence, no recompilation.
-* The inner gather ``edf[cell]`` uses XLA's native TPU gather from a
-  VMEM/HBM-resident EDF. Measured ≥ 3e11 gathered lanes/s with the EDF held
-  in VMEM across the scan loop — far past the 1e9 rays/s/host target — so
-  the march is gather-limited only in name; XLA's emitter is the
-  speed-of-light path here and a hand-written Mosaic kernel cannot currently
-  beat it (Mosaic's ``dynamic_gather`` is restricted to single-vreg tables).
+* The inner gather ``edf[cell]`` uses XLA's native TPU gather. Measured on
+  v5e: ~1.4e8 gathered elements/s regardless of table size — TPUs have no
+  vector-gather hardware, so this backend is gather-bound at a few million
+  rays/s/chip. It is kept as the *reference-exact semantics* backend (every
+  DT step identical to the oracle) and as the ``∂range/∂map`` provider; the
+  throughput path is the dense segment-intersection backend in
+  ``raycast_segments.py`` / its Pallas kernel, which needs no gathers.
+  (Mosaic's ``dynamic_gather`` is restricted to single-vreg tables, so a
+  hand-written Pallas march cannot beat XLA's gather here either.)
 * Everything is shape-polymorphic over a leading ray batch: callers vmap /
   shard over (agents, beams) however they like; the op itself is written on
   flat ray vectors so sharding layouts stay trivial.
@@ -41,34 +44,40 @@ def beam_angles(num_beams: int, fov: float) -> jnp.ndarray:
     return jnp.linspace(-fov / 2.0, fov / 2.0, num_beams)
 
 
-def sample_edf_nearest(edf: jnp.ndarray, gx, gy):
-    """Nearest-cell EDF sample in grid units. Out-of-map -> -1 sentinel."""
-    h, w = edf.shape
+def sample_edf_nearest(edf: jnp.ndarray, gx, gy, bounds_hw=None):
+    """Nearest-cell EDF sample in grid units. Out-of-map -> -1 sentinel.
+
+    ``bounds_hw``: real (unpadded) map dims for the in-bounds test; the
+    gather itself uses the padded array (padding is free space, loader doc).
+    """
+    hp, wp = edf.shape
+    h, w = bounds_hw if bounds_hw is not None else (hp, wp)
     ix = jnp.floor(gx).astype(jnp.int32)
     iy = jnp.floor(gy).astype(jnp.int32)
     inb = (ix >= 0) & (iy >= 0) & (ix < w) & (iy < h)
-    flat = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    flat = jnp.clip(iy, 0, hp - 1) * wp + jnp.clip(ix, 0, wp - 1)
     d = jnp.take(edf.reshape(-1), flat)
     return jnp.where(inb, d, -1.0)
 
 
-def sample_edf_bilinear(edf: jnp.ndarray, gx, gy):
+def sample_edf_bilinear(edf: jnp.ndarray, gx, gy, bounds_hw=None):
     """Bilinear EDF sample, cell-center convention (value of cell (i,j)
     lives at grid point (j+0.5, i+0.5)). Out-of-map -> -1 sentinel."""
-    h, w = edf.shape
+    hp, wp = edf.shape
+    h, w = bounds_hw if bounds_hw is not None else (hp, wp)
     inb = (gx >= 0) & (gy >= 0) & (gx < w) & (gy < h)
-    xs = jnp.clip(gx - 0.5, 0.0, w - 1.000001)
-    ys = jnp.clip(gy - 0.5, 0.0, h - 1.000001)
+    xs = jnp.clip(gx - 0.5, 0.0, wp - 1.000001)
+    ys = jnp.clip(gy - 0.5, 0.0, hp - 1.000001)
     x0 = jnp.floor(xs).astype(jnp.int32)
     y0 = jnp.floor(ys).astype(jnp.int32)
     fx = xs - x0
     fy = ys - y0
     flat = edf.reshape(-1)
-    base = y0 * w + x0
+    base = y0 * wp + x0
     f00 = jnp.take(flat, base)
     f01 = jnp.take(flat, base + 1)
-    f10 = jnp.take(flat, base + w)
-    f11 = jnp.take(flat, base + w + 1)
+    f10 = jnp.take(flat, base + wp)
+    f11 = jnp.take(flat, base + wp + 1)
     val = (f00 * (1 - fx) + f01 * fx) * (1 - fy) \
         + (f10 * (1 - fx) + f11 * fx) * fy
     return jnp.where(inb, val, -1.0)
@@ -76,11 +85,12 @@ def sample_edf_bilinear(edf: jnp.ndarray, gx, gy):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iters", "interp"))
+    static_argnames=("max_iters", "interp", "bounds_hw"))
 def march_rays(edf: jnp.ndarray, resolution, origin_xy,
                x0, y0, cos_t, sin_t,
                max_range=10.0, eps=0.0001,
-               max_iters: int = 256, interp: str = "nearest"):
+               max_iters: int = 256, interp: str = "nearest",
+               bounds_hw=None):
     """March a batch of rays through the EDF. All ray args share one shape.
 
     Args:
@@ -109,7 +119,7 @@ def march_rays(edf: jnp.ndarray, resolution, origin_xy,
         x, y, total, alive = carry
         gx = (x - ox) * inv_res
         gy = (y - oy) * inv_res
-        d = sample(edf, gx, gy)
+        d = sample(edf, gx, gy, bounds_hw)
         oob = d < 0.0                       # left the map
         hit = d <= eps                      # includes oob; refined below
         # Reference loop condition: d > eps and in-map and total < max_range
@@ -131,7 +141,8 @@ def scan_poses(edf: jnp.ndarray, resolution, origin_xy, poses,
                num_beams: int = 1080, fov: float = 4.712388980384690,
                max_range=10.0, eps=0.0001, max_iters: int = 256,
                interp: str = "nearest",
-               theta_discretization: int = 0) -> jnp.ndarray:
+               theta_discretization: int = 0,
+               bounds_hw=None) -> jnp.ndarray:
     """Full lidar scans for a batch of poses.
 
     Args:
@@ -161,4 +172,5 @@ def scan_poses(edf: jnp.ndarray, resolution, origin_xy, poses,
     yb = jnp.broadcast_to(y, ang.shape)
     return march_rays(edf, resolution, origin_xy, xb, yb, ct, st,
                       max_range=max_range, eps=eps,
-                      max_iters=max_iters, interp=interp)
+                      max_iters=max_iters, interp=interp,
+                      bounds_hw=bounds_hw)

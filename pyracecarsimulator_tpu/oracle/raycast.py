@@ -68,7 +68,7 @@ def _sample_bilinear(edf, gx, gy):
 def trace_ray(edf: np.ndarray, resolution: float, origin_xy,
               x: float, y: float, cos_t: float, sin_t: float,
               max_range: float, eps: float, max_iters: int = 1000,
-              interp: str = "nearest") -> float:
+              interp: str = "nearest", bounds_hw=None) -> float:
     """March one ray; returns range in meters, clamped to max_range.
 
     Mirrors reference ``trace_ray`` (SURVEY.md §3.3): step by the EDF value
@@ -76,12 +76,15 @@ def trace_ray(edf: np.ndarray, resolution: float, origin_xy,
     is exhausted.
     """
     sample = _sample_nearest if interp == "nearest" else _sample_bilinear
+    h, w = bounds_hw if bounds_hw is not None else edf.shape
     ox, oy = origin_xy
     total = 0.0
     px, py = x, y
     for _ in range(max_iters):
         gx = (px - ox) / resolution
         gy = (py - oy) / resolution
+        if gx < 0 or gy < 0 or gx >= w or gy >= h:
+            return max_range          # left the (real) map
         d = sample(edf, gx, gy)
         if d is None:
             return max_range          # left the map -> max-range clamp
@@ -100,8 +103,8 @@ def scan(edf: np.ndarray, resolution: float, origin_xy,
          max_range: float = 10.0, eps: float = 0.0001,
          theta_discretization: int | None = None,
          max_iters: int = 1000, interp: str = "nearest",
-         std_dev: float = 0.0, rng: np.random.RandomState | None = None
-         ) -> np.ndarray:
+         std_dev: float = 0.0, rng: np.random.RandomState | None = None,
+         bounds_hw=None) -> np.ndarray:
     """Full scan from pose (x, y, theta). Returns (num_beams,) ranges [m]."""
     x, y, theta = float(pose[0]), float(pose[1]), float(pose[2])
     offs = beam_angles(num_beams, fov)
@@ -114,13 +117,15 @@ def scan(edf: np.ndarray, resolution: float, origin_xy,
             idx = int(a / two_pi * theta_discretization) % theta_discretization
             ranges[i] = trace_ray(edf, resolution, origin_xy, x, y,
                                   cos_tab[idx], sin_tab[idx],
-                                  max_range, eps, max_iters, interp)
+                                  max_range, eps, max_iters, interp,
+                                  bounds_hw)
     else:
         for i, off in enumerate(offs):
             a = theta + off
             ranges[i] = trace_ray(edf, resolution, origin_xy, x, y,
                                   np.cos(a), np.sin(a),
-                                  max_range, eps, max_iters, interp)
+                                  max_range, eps, max_iters, interp,
+                                  bounds_hw)
     if std_dev > 0.0:
         rng = rng or np.random.RandomState(0)
         ranges = ranges + rng.normal(0.0, std_dev, size=num_beams)

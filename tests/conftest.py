@@ -7,10 +7,17 @@ initializes its backends, hence module scope here.
 
 import os
 
-os.environ.setdefault("XLA_FLAGS",
-                      (os.environ.get("XLA_FLAGS", "") +
-                       " --xla_force_host_platform_device_count=8").strip())
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                           " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# The axon TPU plugin in this image force-appends itself to jax_platforms at
+# import time, overriding the env var; pin the config explicitly or tests
+# silently run over the remote-TPU tunnel (slow, flaky, single-device).
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
 
 import numpy as np
 import pytest

@@ -50,10 +50,12 @@ def test_yaml_load_and_orientation(tmp_path):
     assert t.padded_shape[0] % 128 == 0 and t.padded_shape[1] % 128 == 0
 
 
-def test_padding_is_occupied(small_track):
+def test_padding_is_free(small_track):
+    # Free padding: a ray leaving the real map must see open space (and the
+    # march's real-bounds test returns max_range), not phantom walls.
     occ = np.asarray(small_track.occupancy)
-    assert (occ[small_track.height:, :] == 1.0).all()
-    assert (occ[:, small_track.width:] == 1.0).all()
+    assert (occ[small_track.height:, :] == 0.0).all()
+    assert (occ[:, small_track.width:] == 0.0).all()
 
 
 def test_builtin_maps_generate():
@@ -66,8 +68,9 @@ def test_builtin_maps_generate():
 
 
 def test_add_obstacle_rebuilds_edf(small_track):
-    edf0 = np.asarray(small_track.edf)
-    # place obstacle at the most open point
+    edf0 = np.asarray(small_track.edf)[: small_track.height,
+                                       : small_track.width]
+    # place obstacle at the most open point inside the real map
     iy, ix = np.unravel_index(np.argmax(edf0), edf0.shape)
     x = small_track.origin_x + (ix + 0.5) * small_track.resolution
     y = small_track.origin_y + (iy + 0.5) * small_track.resolution
