@@ -1,0 +1,166 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Headline metric: rays/s per chip, forward+backward, 1080-beam scans at 4096
+agents on the levine-class map (the reference's flagship configuration,
+BASELINE.json "metric"/"configs"). ``vs_baseline`` is value / 1e9 — the
+driver-set north-star target of 1e9 rays/s (fwd+bwd) per v5p HOST; ratios
+> 1 on a single v5e chip beat the whole-host target. Secondary numbers ride
+in "extra".
+
+Tunnel-aware methodology (see .claude/skills/verify/SKILL.md): every timed
+region runs REPS iterations inside one jit program (lax.scan) and fetches a
+single scalar; per-call wall time through the axon tunnel costs ~35 ms and
+would otherwise dominate.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _timed(fn, *args, overhead=0.035):
+    """Wall-time one host-fetch call, minus tunnel overhead."""
+    t0 = time.perf_counter()
+    s = float(fn(*args))
+    dt = time.perf_counter() - t0 - overhead
+    assert np.isfinite(s)
+    return max(dt, 1e-9)
+
+
+def main():
+    import jax
+    try:  # persistent compile cache: reruns skip the 30-90s compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from pyracecarsimulator_tpu.config import ScanParams
+    from pyracecarsimulator_tpu.maps.loader import load_builtin
+    from pyracecarsimulator_tpu.maps.segments import build_segment_map
+    from pyracecarsimulator_tpu.ops.raycast_segments import (
+        raycast_all, raycast_tiled)
+    from pyracecarsimulator_tpu.ops.raymarch_xla import beam_angles
+    from pyracecarsimulator_tpu.simulator import build_sim, make_step_fn
+    from pyracecarsimulator_tpu.state import state_from_pose
+    from pyracecarsimulator_tpu.parallel import (
+        rollout, make_gap_follower_policy)
+
+    A, B = 4096, 1080
+    extra = {"device": str(jax.devices()[0]), "agents": A, "beams": B}
+
+    def ray_args(m, a=A):
+        edf = np.asarray(m.edf)[: m.height, : m.width]
+        rng = np.random.RandomState(0)
+        ys, xs = np.where(edf > 0.3)
+        k = rng.randint(len(ys), size=a)
+        X = (m.origin_x + (xs[k] + .5) * m.resolution).astype(np.float32)
+        Y = (m.origin_y + (ys[k] + .5) * m.resolution).astype(np.float32)
+        TH = rng.uniform(-np.pi, np.pi, a).astype(np.float32)
+        offs = np.asarray(beam_angles(B, 4.712388980384690), np.float32)
+        ANG = TH[:, None] + offs[None, :]
+        return (jnp.asarray(X), jnp.asarray(Y),
+                jnp.broadcast_to(jnp.asarray(X)[:, None], (a, B)),
+                jnp.broadcast_to(jnp.asarray(Y)[:, None], (a, B)),
+                jnp.asarray(np.cos(ANG)), jnp.asarray(np.sin(ANG)))
+
+    results = {}
+    for name in ("levine", "berlin"):
+        m = load_builtin(name)
+        sm = build_segment_map(
+            np.asarray(m.occupancy), m.resolution,
+            (m.origin_x, m.origin_y), max_range=10.0, tile_size=4.0,
+            real_hw=(m.height, m.width))
+        x0, y0, xb, yb, ct, st = ray_args(m)
+        use_tiles = sm.tiles is not None and sm.tiles.shape[2] < sm.params.shape[1]
+
+        def fwd_once(xb, yb, ct, st):
+            if use_tiles:
+                return raycast_tiled(sm.tiles, sm.tiles_shape, sm.tile_size,
+                                     sm.tile_origin, x0, y0, xb, yb, ct, st,
+                                     10.0)
+            return raycast_all(sm.params, xb, yb, ct, st, 10.0)
+
+        REPS_F = 50 if name == "levine" else 20
+        REPS_B = 10  # the remote compile helper is flaky on long grad loops
+
+        @jax.jit
+        def fwd_loop(xb, yb, ct, st):
+            def rep(acc, _):
+                return acc + jnp.sum(fwd_once(xb, yb, ct, st)), None
+            acc, _ = jax.lax.scan(rep, 0.0, None, length=REPS_F)
+            return acc
+
+        @jax.jit
+        def fwdbwd_loop(xb, yb, ct, st):
+            def loss(xb, yb):
+                return jnp.sum(fwd_once(xb, yb, ct, st))
+            def rep(acc, _):
+                l, g = jax.value_and_grad(loss, argnums=(0, 1))(xb, yb)
+                return acc + l + jnp.sum(g[0][0]), None
+            acc, _ = jax.lax.scan(rep, 0.0, None, length=REPS_B)
+            return acc
+
+        try:
+            _log(f"[bench] {name}: compiling fwd ...")
+            _timed(fwd_loop, xb, yb, ct, st)     # warm + compile
+            dt = _timed(fwd_loop, xb, yb, ct, st) / REPS_F
+            results[f"{name}_fwd"] = A * B / dt
+            _log(f"[bench] {name}_fwd rays/s = {results[f'{name}_fwd']:.3e}")
+            _log(f"[bench] {name}: compiling fwd+bwd ...")
+            _timed(fwdbwd_loop, xb, yb, ct, st)
+            dt = _timed(fwdbwd_loop, xb, yb, ct, st) / REPS_B
+            results[f"{name}_fwdbwd"] = A * B / dt
+            _log(f"[bench] {name}_fwdbwd rays/s = "
+                 f"{results[f'{name}_fwdbwd']:.3e}")
+        except Exception as e:
+            _log(f"[bench] {name} stage failed: {e!r}")
+        extra[f"{name}_segments"] = int(sm.n_segments)
+
+    # closed-loop env steps/s @ 4096 agents (levine, reactive policy)
+    bundle = build_sim("levine", scan=ScanParams(num_beams=B))
+    step = make_step_fn(bundle, backend="segments", with_noise=False)
+    m = bundle.track
+    x0, y0, *_ = ray_args(m)
+    s0 = state_from_pose(x0, y0, jnp.zeros(A))
+    policy = make_gap_follower_policy(B, 4.712388980384690, speed=3.0)
+    T = 25
+    try:
+        _log("[bench] compiling closed-loop rollout ...")
+        t0 = time.perf_counter()
+        final, _ = rollout(step, s0, policy, T, B)
+        float(final.x[0])
+        t_compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        final, _ = rollout(step, s0, policy, T, B)
+        float(final.x[0])
+        dt = (time.perf_counter() - t0 - 0.035) / T
+        results["env_steps_s_4096"] = A / dt
+        extra["rollout_compile_s"] = round(t_compile_and_run, 1)
+        _log(f"[bench] env_steps/s = {results['env_steps_s_4096']:.3e}")
+    except Exception as e:
+        _log(f"[bench] rollout stage failed: {e!r}")
+
+    for k, v in results.items():
+        extra[k] = float(f"{v:.4g}")
+
+    headline = results.get("levine_fwdbwd",
+                           results.get("levine_fwd", 0.0))
+    print(json.dumps({
+        "metric": "rays/s/chip fwd+bwd (1080-beam, 4096 agents, levine)",
+        "value": float(f"{headline:.4g}"),
+        "unit": "rays/s",
+        "vs_baseline": float(f"{headline / 1e9:.4g}"),
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

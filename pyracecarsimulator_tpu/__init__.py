@@ -9,5 +9,7 @@ in lockstep under jit/vmap/shard_map, differentiable end-to-end.
 
 from .config import CarParams, ScanParams, SimParams
 from .state import CarState, zero_state, state_from_pose
+from .simulator import (RacecarSimulator, build_sim, make_step_fn,
+                        make_scan_fn, StepOutput)
 
 __version__ = "0.1.0"

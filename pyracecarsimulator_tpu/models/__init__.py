@@ -1,0 +1,2 @@
+from . import dynamics
+from .ttc import ttc_tables, check_ttc

@@ -167,13 +167,16 @@ def scan_poses_segments(segmap, poses, num_beams: int = 1080,
     ct, st = jnp.cos(ang), jnp.sin(ang)
     xb = jnp.broadcast_to(x, ang.shape)
     yb = jnp.broadcast_to(y, ang.shape)
+    # The *_diff variants carry an analytic O(rays) VJP (raycast_grad.py);
+    # values are identical to raycast_all/raycast_tiled.
+    from .raycast_grad import raycast_all_diff, raycast_tiled_diff
     if use_tiles and segmap.tiles is not None:
-        r = raycast_tiled(segmap.tiles, segmap.tiles_shape,
-                          segmap.tile_size, segmap.tile_origin,
-                          poses2[:, 0], poses2[:, 1], xb, yb, ct, st,
-                          max_range=max_range)
+        r = raycast_tiled_diff(segmap.tiles, segmap.tiles_shape,
+                               segmap.tile_size, segmap.tile_origin,
+                               poses2[:, 0], poses2[:, 1], xb, yb, ct, st,
+                               max_range)
     else:
-        r = raycast_all(segmap.params, xb, yb, ct, st, max_range=max_range)
+        r = raycast_all_diff(segmap.params, xb, yb, ct, st, max_range)
     # Reference semantics: a scan from outside the real map is all max_range
     # (the oracle's immediate out-of-map exit).
     ex0, ex1, ey0, ey1 = segmap.extent

@@ -1,0 +1,4 @@
+from .rollout import rollout, make_constant_policy, make_gap_follower_policy
+from .mesh import (make_mesh, make_sharded_scan, make_sharded_step,
+                   shard_state)
+from . import multihost

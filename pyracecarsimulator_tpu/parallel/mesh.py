@@ -1,0 +1,188 @@
+"""Device-mesh sharding for multi-chip / multi-host scaling.
+
+The reference is single-process single-thread (SURVEY.md §2b: every row is
+"reference: absent -> TPU-native design"). Scaling model:
+
+  * ``agents`` mesh axis — data parallel: each device owns a slab of cars.
+  * ``beams`` mesh axis — the scan's beam dimension is the framework's
+    sequence axis (SURVEY.md §5 "long-context analogue"): each device
+    computes a contiguous beam wedge of every owned agent's scan. Segment
+    tables are replicated (they are small); rays never communicate during
+    the sweep, so the only collectives are the reductions that *consume*
+    scans (TTC any-beam, losses) and the gradient psum — exactly where XLA
+    puts them.
+
+Implementation style: ``shard_map`` with explicit PartitionSpecs so the
+collective placement is visible and testable on a CPU fake mesh
+(tests/test_sharding.py), per SURVEY.md §4 item 4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.raymarch_xla import beam_angles
+from ..ops.raycast_grad import raycast_all_diff
+from ..models.ttc import check_ttc
+
+
+def make_mesh(devices=None, agents_axis: Optional[int] = None,
+              beams_axis: int = 1) -> Mesh:
+    """Mesh over the given (default: all) devices.
+
+    With ``agents_axis=None`` all devices not used by ``beams_axis`` go to
+    the agents (DP) axis — the right default: beam sharding only pays off
+    once per-device agent slabs get small.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % beams_axis:
+        raise ValueError(f"{n} devices not divisible by beams_axis={beams_axis}")
+    if agents_axis is None:
+        agents_axis = n // beams_axis
+    if agents_axis * beams_axis != n:
+        raise ValueError(f"mesh {agents_axis}x{beams_axis} != {n} devices")
+    arr = np.asarray(devices).reshape(agents_axis, beams_axis)
+    return Mesh(arr, ("agents", "beams"))
+
+
+def make_sharded_scan(mesh: Mesh, segment_params, num_beams: int,
+                      fov: float, max_range: float = 10.0):
+    """Build ``scan(poses) -> ranges`` sharded (agents, beams) on the mesh.
+
+    poses: (A, 3) sharded on 'agents'; returns (A, num_beams) sharded
+    ('agents', 'beams'). Differentiable (analytic VJP inside each shard;
+    pose cotangents are partial sums over the beam wedge, summed by XLA via
+    psum on the 'beams' axis — the "gradient all-reduce" of BASELINE.json,
+    here placed automatically by shard_map's reverse-mode transpose).
+    """
+    from jax import shard_map
+
+    nb_shards = mesh.shape["beams"]
+    if num_beams % nb_shards:
+        raise ValueError(f"num_beams={num_beams} not divisible by "
+                         f"beams mesh axis {nb_shards}")
+    offs_full = beam_angles(num_beams, fov)
+
+    def shard_body(offs, poses):
+        # poses: (A_loc, 3); offs: (B_loc,) this device's beam wedge
+        x = poses[:, 0:1]
+        y = poses[:, 1:2]
+        ang = poses[:, 2:3] + offs[None, :]
+        ct, st = jnp.cos(ang), jnp.sin(ang)
+        xb = jnp.broadcast_to(x, ang.shape)
+        yb = jnp.broadcast_to(y, ang.shape)
+        return raycast_all_diff(segment_params, xb, yb, ct, st, max_range)
+
+    fn = shard_map(shard_body, mesh=mesh,
+                   in_specs=(P("beams"), P("agents", None)),
+                   out_specs=P("agents", "beams"), check_vma=False)
+
+    def scan(poses):
+        return fn(offs_full, poses)
+
+    return scan
+
+
+def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
+    """Sharded full simulation step over (agents, beams).
+
+    Dynamics and TTC run agent-parallel; the scan is beam-sharded; the TTC
+    any-beam reduction crosses the beam axis with a psum inside shard_map.
+    Returns ``step(state, action, key) -> StepOutput`` whose arrays carry
+    NamedShardings (state/collision on 'agents', ranges on
+    ('agents','beams')).
+    """
+    from jax import shard_map
+    from ..models import dynamics as dyn
+    from ..models.ttc import ttc_tables
+    from ..state import set_field
+    from ..simulator import StepOutput
+    from ..ops.noise import add_scan_noise
+
+    car, sc, sim = bundle.car, bundle.scan, bundle.sim
+    if bundle.segmap is None:
+        raise ValueError("sharded step needs the segment backend")
+    seg_params = bundle.segmap.params
+    num_beams = int(sc.num_beams)
+    nb_shards = mesh.shape["beams"]
+    if num_beams % nb_shards:
+        raise ValueError("num_beams must divide over the beams axis")
+    offs_full = beam_angles(num_beams, float(sc.fov))
+    cos_full, dist_full = ttc_tables(num_beams, float(sc.fov), car)
+
+    def shard_body(offs, cosines, car_dists, state, v_des, steer_des, key):
+        # Everything here sees the LOCAL agent slab + local beam wedge.
+        accel, steer_vel = dyn.process_input(v_des, steer_des, state, car)
+        if sim.dynamics == "ks":
+            new = dyn.ks_step(state, accel, steer_vel, car, sim.dt)
+        else:
+            new = dyn.st_step(state, accel, steer_vel, car, sim.dt)
+        new = dyn.apply_standstill(state, new)
+        sx = new.x + car.scan_distance_to_base_link * jnp.cos(new.theta)
+        sy = new.y + car.scan_distance_to_base_link * jnp.sin(new.theta)
+        ang = new.theta[:, None] + offs[None, :]
+        ct, st = jnp.cos(ang), jnp.sin(ang)
+        xb = jnp.broadcast_to(sx[:, None], ang.shape)
+        yb = jnp.broadcast_to(sy[:, None], ang.shape)
+        ranges = raycast_all_diff(seg_params, xb, yb, ct, st,
+                                  float(sc.max_range))
+        if with_noise and key is not None:
+            kl = jax.random.fold_in(key, jax.lax.axis_index("beams")
+                                    + nb_shards
+                                    * jax.lax.axis_index("agents"))
+            ranges = add_scan_noise(ranges, kl, sc.scan_std_dev,
+                                    sc.max_range)
+        # local any-beam TTC, then OR across beam shards (psum of bools)
+        hit_local = check_ttc(ranges, new.velocity, cosines, car_dists,
+                              sim.ttc_threshold)
+        hit = jax.lax.psum(hit_local.astype(jnp.int32), "beams") > 0
+        latched = new.collision | hit
+        out_state = set_field(
+            new,
+            velocity=jnp.where(latched, 0.0, new.velocity),
+            steer_angle=jnp.where(latched, 0.0, new.steer_angle),
+            angular_velocity=jnp.where(latched, 0.0,
+                                       new.angular_velocity),
+            slip_angle=jnp.where(latched, 0.0, new.slip_angle),
+            collision=latched)
+        return StepOutput(ranges=ranges, collision=latched,
+                          state=out_state)
+
+    state_spec = P("agents")
+    fn = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P("beams"), P("beams"), P("beams"), state_spec,
+                  P("agents"), P("agents"), P()),
+        out_specs=StepOutput(ranges=P("agents", "beams"),
+                             collision=state_spec,
+                             state=jax.tree.map(lambda _: state_spec,
+                                                _state_proto())),
+        check_vma=False)
+
+    @jax.jit
+    def step(state, action, key=None):
+        v_des, steer_des = action
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return fn(offs_full, cos_full, dist_full, state, v_des, steer_des,
+                  key)
+
+    return step
+
+
+def _state_proto():
+    from ..state import zero_state
+    return zero_state(())
+
+
+def shard_state(mesh: Mesh, state):
+    """Place a CarState on the mesh's agents axis."""
+    sh = NamedSharding(mesh, P("agents"))
+    return jax.tree.map(lambda a: jax.device_put(a, sh), state)

@@ -1,0 +1,290 @@
+"""Simulator facade: functional core + reference-style OO wrapper.
+
+Reference parity: the ``RacecarSimulator`` class mirrors the reference
+facade's surface (SURVEY.md §1 L4 / §2a "Simulator facade": ``drive``,
+``update_pose``, ``run_scan``, ``check_collision``, ``get_state`` /
+``set_state``, ``set_pose``, ``add_obstacle`` / ``clear_obstacles``,
+``stop``), orchestrating input processing -> dynamics -> scan -> TTC
+(§3.2 call stack).
+
+TPU-native design: the real API is the *functional core* — ``make_step_fn``
+returns one pure, jit-compiled function fusing the whole §3.2 step for an
+arbitrary agent batch; the OO wrapper is a thin convenience holding
+(state, key) and calling it. Rollouts should use ``parallel.rollout`` which
+``lax.scan``s the same step function on device (the reference's per-step
+Python->Cython crossing, its throughput ceiling per SURVEY.md §3.5, has no
+equivalent here).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import CarParams, ScanParams, SimParams
+from .state import CarState, zero_state, state_from_pose, set_field
+from .models import dynamics as dyn
+from .models.ttc import ttc_tables, check_ttc
+from .maps.loader import TrackMap, load_builtin, add_obstacle as _add_obs
+from .maps.segments import SegmentMap, build_segment_map
+from .ops.raymarch_xla import scan_poses as _scan_edf
+from .ops.raycast_segments import scan_poses_segments as _scan_segments
+from .ops.noise import add_scan_noise
+
+
+class StepOutput(NamedTuple):
+    """Observation bundle from one simulation step."""
+
+    ranges: Any        # (..., num_beams) lidar ranges [m]
+    collision: Any     # (...,) bool — latched collision flag
+    state: Any         # CarState after the step
+
+
+class SimBundle(NamedTuple):
+    """Everything a compiled step closes over (all pytrees/constants)."""
+
+    track: TrackMap
+    segmap: Optional[SegmentMap]
+    car: CarParams
+    scan: ScanParams
+    sim: SimParams
+
+
+def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
+              sim: SimParams = None, backend: str = "segments",
+              tile_size: float = 4.0) -> SimBundle:
+    """Load/accept a map and precompute everything the step needs.
+
+    backend: "segments" (dense geometry, fastest, exact-boundary semantics),
+    "edf" (reference-exact DT march), "edf_bilinear" (smooth DT march for
+    map gradients).
+    """
+    track = (load_builtin(track_or_name)
+             if isinstance(track_or_name, str) else track_or_name)
+    car = car or CarParams()
+    scan = scan or ScanParams()
+    sim = sim or SimParams()
+    segmap = None
+    if backend == "segments":
+        segmap = build_segment_map(
+            np.asarray(track.occupancy), track.resolution,
+            (track.origin_x, track.origin_y),
+            max_range=float(scan.max_range), tile_size=tile_size,
+            real_hw=(track.height, track.width))
+    return SimBundle(track=track, segmap=segmap, car=car, scan=scan, sim=sim)
+
+
+def make_scan_fn(bundle: SimBundle, backend: str = "segments"
+                 ) -> Callable[[Any], Any]:
+    """Returns ``scan(poses) -> ranges`` for poses (..., 3), noiseless."""
+    sc = bundle.scan
+    theta_disc = sc.theta_discretization if sc.use_theta_table else 0
+    if backend == "segments":
+        if bundle.segmap is None:
+            raise ValueError("bundle built without segment backend")
+        segmap = bundle.segmap
+
+        def scan_fn(poses):
+            return _scan_segments(
+                segmap, poses, num_beams=sc.num_beams, fov=sc.fov,
+                max_range=sc.max_range, theta_discretization=theta_disc)
+        return scan_fn
+
+    interp = "bilinear" if backend == "edf_bilinear" else "nearest"
+    track = bundle.track
+    org = jnp.asarray((track.origin_x, track.origin_y), jnp.float32)
+    bounds = (track.height, track.width)
+
+    def scan_fn(poses):
+        return _scan_edf(
+            track.edf, track.resolution, org, poses,
+            num_beams=sc.num_beams, fov=sc.fov, max_range=sc.max_range,
+            eps=sc.ray_tracing_epsilon, max_iters=sc.max_march_iters,
+            interp=interp, theta_discretization=theta_disc,
+            bounds_hw=bounds)
+    return scan_fn
+
+
+def make_step_fn(bundle: SimBundle, backend: str = "segments",
+                 with_noise: bool = True) -> Callable:
+    """Build the fused simulation step (reference §3.2, one XLA program).
+
+    Returns ``step(state, action, key=None) -> StepOutput`` where action is
+    ``(v_des, steer_des)`` with shapes broadcastable to the state batch.
+    The returned function is jit-compiled; vmap/shard over the batch axis is
+    implicit (everything is written batched).
+    """
+    scan_fn = make_scan_fn(bundle, backend)
+    car, sc, sim = bundle.car, bundle.scan, bundle.sim
+    cosines, car_dists = ttc_tables(sc.num_beams, sc.fov, car)
+    dynamics = sim.dynamics
+
+    @jax.jit
+    def step(state: CarState, action, key=None) -> StepOutput:
+        v_des, steer_des = action
+        # 1. input processing (reference drive() + compute_accel)
+        accel, steer_vel = dyn.process_input(v_des, steer_des, state, car)
+        # 2. dynamics update (reference update_pose())
+        if dynamics == "st":
+            new = dyn.st_step(state, accel, steer_vel, car, sim.dt)
+        elif dynamics == "ks":
+            new = dyn.ks_step(state, accel, steer_vel, car, sim.dt)
+        elif dynamics == "ackermann":
+            new = dyn.ackermann_step(state, v_des, steer_des, car, sim.dt)
+        else:
+            raise ValueError(f"unknown dynamics {dynamics!r}")
+        new = dyn.apply_standstill(state, new)
+        # 3. scan from the lidar origin (scan_distance_to_base_link ahead)
+        sx = new.x + car.scan_distance_to_base_link * jnp.cos(new.theta)
+        sy = new.y + car.scan_distance_to_base_link * jnp.sin(new.theta)
+        poses = jnp.stack([sx, sy, new.theta], axis=-1)
+        ranges = scan_fn(poses)
+        if with_noise and key is not None:
+            ranges = add_scan_noise(ranges, key, sc.scan_std_dev,
+                                    sc.max_range)
+        # 4. TTC collision -> latch (reference checkCollision + stop())
+        hit = check_ttc(ranges, new.velocity, cosines, car_dists,
+                        sim.ttc_threshold)
+        latched = new.collision | hit
+        out_state = set_field(
+            new,
+            velocity=jnp.where(latched, 0.0, new.velocity),
+            steer_angle=jnp.where(latched, 0.0, new.steer_angle),
+            angular_velocity=jnp.where(latched, 0.0, new.angular_velocity),
+            slip_angle=jnp.where(latched, 0.0, new.slip_angle),
+            collision=latched)
+        return StepOutput(ranges=ranges, collision=latched, state=out_state)
+
+    return step
+
+
+class RacecarSimulator:
+    """Reference-style OO facade over the functional core.
+
+    Mirrors the reference simulator's method surface (SURVEY.md §1 L4) for
+    drop-in familiarity; state lives in ``self.state`` as a CarState pytree
+    with an arbitrary agent batch shape.
+    """
+
+    def __init__(self, track_or_name="levine", car_params: CarParams = None,
+                 scan_params: ScanParams = None, sim_params: SimParams = None,
+                 backend: str = "segments", batch_shape=(), seed: int = 0,
+                 with_noise: bool = True):
+        self.bundle = build_sim(track_or_name, car_params, scan_params,
+                                sim_params, backend=backend)
+        self._pristine_track = self.bundle.track
+        self.backend = backend
+        self.with_noise = with_noise
+        self.batch_shape = tuple(batch_shape)
+        self._rebuild()
+        self.state = zero_state(self.batch_shape)
+        self.key = jax.random.PRNGKey(seed)
+        z = jnp.zeros(self.batch_shape)
+        self._action = (z, z)
+        self._last: Optional[StepOutput] = None
+
+    # -- internal ---------------------------------------------------------
+    def _rebuild(self):
+        self._step = make_step_fn(self.bundle, self.backend, self.with_noise)
+        self._scan = make_scan_fn(self.bundle, self.backend)
+
+    def _split(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # -- reference API ----------------------------------------------------
+    def drive(self, desired_speed, desired_steer):
+        """Set the drive command (reference ``drive``/``setInput``)."""
+        b = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32),
+                                       self.batch_shape)
+        self._action = (b(desired_speed), b(desired_steer))
+
+    def update_pose(self):
+        """Advance one dt: dynamics + scan + TTC (reference updatePose)."""
+        out = self._step(self.state, self._action,
+                         self._split() if self.with_noise else None)
+        self.state = out.state
+        self._last = out
+        return out
+
+    step = update_pose
+
+    def run_scan(self):
+        """Scan at the current pose without stepping (reference runScan)."""
+        car = self.bundle.car
+        sx = self.state.x + car.scan_distance_to_base_link * jnp.cos(self.state.theta)
+        sy = self.state.y + car.scan_distance_to_base_link * jnp.sin(self.state.theta)
+        poses = jnp.stack([sx, sy, self.state.theta], axis=-1)
+        r = self._scan(poses)
+        if self.with_noise:
+            r = add_scan_noise(r, self._split(),
+                               self.bundle.scan.scan_std_dev,
+                               self.bundle.scan.max_range)
+        return r
+
+    get_scan = run_scan
+
+    def check_collision(self):
+        """Latched collision flag(s) (reference checkCollision)."""
+        if self._last is None:
+            return self.state.collision
+        return self._last.collision
+
+    def stop(self):
+        """Zero motion state, keep pose (reference stop())."""
+        z = jnp.zeros(self.batch_shape)
+        self.state = set_field(self.state, velocity=z, steer_angle=z,
+                               angular_velocity=z, slip_angle=z)
+        self._action = (z, z)
+
+    def set_pose(self, x, y, theta=0.0):
+        """Teleport + clear motion and the collision latch (reference
+        set-pose; also clears the latch as upstream does on repose)."""
+        b = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32),
+                                       self.batch_shape)
+        self.state = state_from_pose(b(x), b(y), b(theta))
+
+    reset = set_pose
+
+    def get_state(self) -> CarState:
+        return self.state
+
+    def set_state(self, state: CarState):
+        self.state = state
+
+    def add_obstacle(self, x, y, size=0.2):
+        """Rasterize an obstacle and rebuild EDF + segments (reference
+        addObstacle; episode-frequency host path, SURVEY.md §3.4)."""
+        track = _add_obs(self.bundle.track, x, y, size)
+        segmap = None
+        if self.backend == "segments":
+            segmap = build_segment_map(
+                np.asarray(track.occupancy), track.resolution,
+                (track.origin_x, track.origin_y),
+                max_range=float(self.bundle.scan.max_range),
+                tile_size=(self.bundle.segmap.tile_size
+                           if self.bundle.segmap is not None else 4.0),
+                real_hw=(track.height, track.width))
+        self.bundle = self.bundle._replace(track=track, segmap=segmap)
+        self._rebuild()
+
+    def clear_obstacles(self):
+        """Restore the pristine map (reference clearObstacles)."""
+        self.bundle = self.bundle._replace(track=self._pristine_track)
+        if self.backend == "segments":
+            sm = build_segment_map(
+                np.asarray(self._pristine_track.occupancy),
+                self._pristine_track.resolution,
+                (self._pristine_track.origin_x,
+                 self._pristine_track.origin_y),
+                max_range=float(self.bundle.scan.max_range),
+                tile_size=(self.bundle.segmap.tile_size
+                           if self.bundle.segmap is not None else 4.0),
+                real_hw=(self._pristine_track.height,
+                         self._pristine_track.width))
+            self.bundle = self.bundle._replace(segmap=sm)
+        self._rebuild()

@@ -10,6 +10,10 @@ import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                            " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Skip the axon TPU-tunnel registration entirely: it runs from sitecustomize
+# at jax import, adds seconds of latency, and HANGS when the tunnel is
+# wedged. Tests are CPU-only by design.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax
 
@@ -36,6 +40,8 @@ def small_track():
                            name="small")
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same stream regardless of
+    # execution order (a shared stream made failures order-dependent)
     return np.random.RandomState(42)

@@ -1,0 +1,122 @@
+"""Multi-device sharding tests on the 8-device CPU fake mesh
+(SURVEY.md §4 item 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyracecarsimulator_tpu.config import ScanParams
+from pyracecarsimulator_tpu.maps.segments import build_segment_map
+from pyracecarsimulator_tpu.parallel.mesh import (
+    make_mesh, make_sharded_scan, make_sharded_step, shard_state)
+from pyracecarsimulator_tpu.ops.raycast_grad import raycast_all_diff
+from pyracecarsimulator_tpu.ops.raymarch_xla import beam_angles
+from pyracecarsimulator_tpu.simulator import build_sim, make_step_fn
+from pyracecarsimulator_tpu.state import state_from_pose
+
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 fake devices")
+
+NB = 128
+SCAN = ScanParams(num_beams=NB)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    from pyracecarsimulator_tpu.maps.loader import build_track_map
+    h = w = 192
+    occ = np.zeros((h, w), np.float32)
+    occ[:4, :] = 1; occ[-4:, :] = 1; occ[:, :4] = 1; occ[:, -4:] = 1
+    occ[60:132, 60:132] = 1
+    track = build_track_map(occ, 0.05, (-4.8, -4.8), name="small")
+    return build_sim(track, scan=SCAN)
+
+
+def _poses(bundle, rng, n):
+    edf = np.asarray(bundle.track.edf)[: bundle.track.height,
+                                       : bundle.track.width]
+    ys, xs = np.where(edf > 0.4)
+    k = rng.randint(len(ys), size=n)
+    x = bundle.track.origin_x + (xs[k] + 0.5) * bundle.track.resolution
+    y = bundle.track.origin_y + (ys[k] + 0.5) * bundle.track.resolution
+    th = rng.uniform(-np.pi, np.pi, n)
+    return jnp.asarray(np.stack([x, y, th], -1), jnp.float32)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_scan_matches_single(bundle, rng, mesh_shape):
+    mesh = make_mesh(agents_axis=mesh_shape[0], beams_axis=mesh_shape[1])
+    scan = make_sharded_scan(mesh, bundle.segmap.params, NB,
+                             float(SCAN.fov))
+    poses = _poses(bundle, rng, 16)
+    sharded = np.asarray(scan(poses))
+    # reference: unsharded raycast
+    offs = beam_angles(NB, float(SCAN.fov))
+    ang = poses[:, 2:3] + offs[None, :]
+    ct, st = jnp.cos(ang), jnp.sin(ang)
+    xb = jnp.broadcast_to(poses[:, 0:1], ang.shape)
+    yb = jnp.broadcast_to(poses[:, 1:2], ang.shape)
+    ref = np.asarray(raycast_all_diff(bundle.segmap.params, xb, yb, ct, st,
+                                      10.0))
+    np.testing.assert_allclose(sharded, ref, atol=1e-5)
+
+
+def test_sharded_scan_gradient_collective(bundle, rng):
+    """Pose gradient must equal the unsharded gradient: checks the psum
+    over the beams axis that shard_map's transpose inserts."""
+    mesh = make_mesh(agents_axis=2, beams_axis=4)
+    scan = make_sharded_scan(mesh, bundle.segmap.params, NB,
+                             float(SCAN.fov))
+    poses = _poses(bundle, rng, 8)
+
+    def loss_sh(poses):
+        return jnp.sum(scan(poses) ** 2)
+
+    offs = beam_angles(NB, float(SCAN.fov))
+
+    def loss_ref(poses):
+        ang = poses[:, 2:3] + offs[None, :]
+        ct, st = jnp.cos(ang), jnp.sin(ang)
+        xb = jnp.broadcast_to(poses[:, 0:1], ang.shape)
+        yb = jnp.broadcast_to(poses[:, 1:2], ang.shape)
+        return jnp.sum(raycast_all_diff(bundle.segmap.params,
+                                        xb, yb, ct, st, 10.0) ** 2)
+
+    g_sh = np.asarray(jax.grad(loss_sh)(poses))
+    g_ref = np.asarray(jax.grad(loss_ref)(poses))
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_step_matches_unsharded(bundle, rng):
+    mesh = make_mesh(agents_axis=4, beams_axis=2)
+    step_sh = make_sharded_step(mesh, bundle, with_noise=False)
+    step_ref = make_step_fn(bundle, backend="segments", with_noise=False)
+    poses = _poses(bundle, rng, 16)
+    s0 = state_from_pose(poses[:, 0], poses[:, 1], poses[:, 2])
+    s0 = shard_state(mesh, s0)
+    action = (jnp.full((16,), 3.0), jnp.full((16,), 0.05))
+    out_sh = step_sh(s0, action, None)
+    out_ref = step_ref(state_from_pose(poses[:, 0], poses[:, 1],
+                                       poses[:, 2]), action, None)
+    np.testing.assert_allclose(np.asarray(out_sh.state.x),
+                               np.asarray(out_ref.state.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_sh.ranges),
+                               np.asarray(out_ref.ranges), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_sh.collision),
+                                  np.asarray(out_ref.collision))
+
+
+def test_sharded_rollout_runs(bundle, rng):
+    """Multi-step closed loop under the mesh (agents+beams sharded)."""
+    from pyracecarsimulator_tpu.parallel import rollout, \
+        make_constant_policy
+    mesh = make_mesh(agents_axis=4, beams_axis=2)
+    step = make_sharded_step(mesh, bundle, with_noise=False)
+    poses = _poses(bundle, rng, 8)
+    s0 = shard_state(mesh, state_from_pose(poses[:, 0], poses[:, 1],
+                                           poses[:, 2]))
+    final, traj = rollout(step, s0, make_constant_policy(2.0, 0.0), 10, NB)
+    assert np.isfinite(np.asarray(final.x)).all()
+    assert traj["pose"].shape == (10, 8, 3)
