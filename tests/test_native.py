@@ -1,0 +1,60 @@
+"""Native (C++/ctypes) host library parity (SURVEY.md §2c tier).
+
+Skipped wholesale when the toolchain/library is unavailable — every native
+entry point has a NumPy twin that the rest of the suite already covers.
+"""
+
+import numpy as np
+import pytest
+
+from pyracecarsimulator_tpu._native import loader as nat
+
+pytestmark = pytest.mark.skipif(not nat.available(),
+                                reason="native library unavailable")
+
+
+def test_edt_matches_scipy(rng):
+    scipy_ndimage = pytest.importorskip("scipy.ndimage")
+    occ = rng.rand(257, 129) < 0.01
+    occ[0, 0] = True
+    ref = scipy_ndimage.distance_transform_edt(~occ)
+    np.testing.assert_allclose(nat.edt(occ), ref, atol=1e-4)
+
+
+def test_extract_segments_matches_python(rng):
+    from pyracecarsimulator_tpu.maps.segments import extract_segments
+    occ = rng.rand(64, 96) < 0.1
+    py = extract_segments(occ.astype(np.float32), 1.0, (0.0, 0.0))
+    c = nat.extract_segments(occ)
+    assert set(map(tuple, np.round(py, 9))) == set(map(tuple, np.round(c, 9)))
+
+
+def test_trace_rays_matches_oracle(small_track, rng):
+    from pyracecarsimulator_tpu.oracle import raycast as orc
+    edf = np.asarray(small_track.edf)
+    org = (small_track.origin_x, small_track.origin_y)
+    bounds = (small_track.height, small_track.width)
+    xs = rng.uniform(-3, 3, 64)
+    ys = rng.uniform(-3, 3, 64)
+    th = rng.uniform(-np.pi, np.pi, 64)
+    got = nat.trace_rays(edf, bounds, small_track.resolution, org,
+                         xs, ys, np.cos(th), np.sin(th))
+    ref = np.array([orc.trace_ray(edf, small_track.resolution, org,
+                                  xs[i], ys[i], np.cos(th[i]),
+                                  np.sin(th[i]), 10.0, 1e-4,
+                                  bounds_hw=bounds) for i in range(64)])
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_raycast_segments_matches_numpy(small_track, rng):
+    from pyracecarsimulator_tpu.maps.segments import (
+        extract_segments, raycast_segments_numpy)
+    occ = np.asarray(small_track.occupancy)
+    segs = extract_segments(occ, small_track.resolution,
+                            (small_track.origin_x, small_track.origin_y))
+    xs = rng.uniform(-3, 3, 64)
+    ys = rng.uniform(-3, 3, 64)
+    th = rng.uniform(-np.pi, np.pi, 64)
+    got = nat.raycast_segments(segs, xs, ys, np.cos(th), np.sin(th))
+    ref = raycast_segments_numpy(segs, xs, ys, np.cos(th), np.sin(th), 10.0)
+    np.testing.assert_allclose(got, ref, atol=1e-9)
