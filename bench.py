@@ -51,7 +51,7 @@ def main():
     from pyracecarsimulator_tpu.simulator import build_sim, make_step_fn
     from pyracecarsimulator_tpu.state import state_from_pose
     from pyracecarsimulator_tpu.parallel import (
-        rollout, make_gap_follower_policy)
+        make_rollout_fn, make_gap_follower_policy)
 
     A, B = 4096, 1080
     extra = {"device": str(jax.devices()[0]), "agents": A, "beams": B}
@@ -91,21 +91,27 @@ def main():
         REPS_F = 50 if name == "levine" else 20
         REPS_B = 10  # the remote compile helper is flaky on long grad loops
 
+        # NB: each rep perturbs the inputs by i*1e-7 m — otherwise XLA
+        # CSE-hoists the loop-invariant scan out of the rep loop and the
+        # "timing" measures one scan (observed: levine "2e12 rays/s").
         @jax.jit
         def fwd_loop(xb, yb, ct, st):
-            def rep(acc, _):
-                return acc + jnp.sum(fwd_once(xb, yb, ct, st)), None
-            acc, _ = jax.lax.scan(rep, 0.0, None, length=REPS_F)
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                return acc + jnp.sum(fwd_once(xb + d, yb + d, ct, st)), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_F))
             return acc
 
         @jax.jit
         def fwdbwd_loop(xb, yb, ct, st):
             def loss(xb, yb):
                 return jnp.sum(fwd_once(xb, yb, ct, st))
-            def rep(acc, _):
-                l, g = jax.value_and_grad(loss, argnums=(0, 1))(xb, yb)
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                l, g = jax.value_and_grad(loss, argnums=(0, 1))(xb + d,
+                                                                yb + d)
                 return acc + l + jnp.sum(g[0][0]), None
-            acc, _ = jax.lax.scan(rep, 0.0, None, length=REPS_B)
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_B))
             return acc
 
         try:
@@ -124,6 +130,40 @@ def main():
             _log(f"[bench] {name} stage failed: {e!r}")
         extra[f"{name}_segments"] = int(sm.n_segments)
 
+    # simplified-geometry backend on berlin (contour-DP, tol=1 cell)
+    try:
+        from pyracecarsimulator_tpu.maps.contours import (
+            build_general_segment_map)
+        from pyracecarsimulator_tpu.ops.raycast_general import (
+            raycast_general_tiled)
+        m = load_builtin("berlin")
+        gm = build_general_segment_map(
+            np.asarray(m.occupancy), m.resolution,
+            (m.origin_x, m.origin_y), tol_cells=1.0, max_range=10.0,
+            tile_size=4.0, real_hw=(m.height, m.width))
+        x0, y0, xb, yb, ct, st = ray_args(m)
+
+        @jax.jit
+        def gen_loop(xb, yb, ct, st):
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                r = raycast_general_tiled(
+                    gm.tiles, gm.tiles_shape, gm.tile_size, gm.tile_origin,
+                    x0, y0, xb + d, yb + d, ct, st, 10.0)
+                return acc + jnp.sum(r), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(20))
+            return acc
+
+        _log("[bench] berlin simplified: compiling ...")
+        _timed(gen_loop, xb, yb, ct, st)
+        dt = _timed(gen_loop, xb, yb, ct, st) / 20
+        results["berlin_simplified_fwd"] = A * B / dt
+        extra["berlin_gsegments"] = int(gm.n_segments)
+        _log(f"[bench] berlin_simplified_fwd rays/s = "
+             f"{results['berlin_simplified_fwd']:.3e}")
+    except Exception as e:
+        _log(f"[bench] simplified stage failed: {e!r}")
+
     # closed-loop env steps/s @ 4096 agents (levine, reactive policy)
     bundle = build_sim("levine", scan=ScanParams(num_beams=B))
     step = make_step_fn(bundle, backend="segments", with_noise=False)
@@ -134,12 +174,13 @@ def main():
     T = 25
     try:
         _log("[bench] compiling closed-loop rollout ...")
+        run = make_rollout_fn(step, policy, T, B)
         t0 = time.perf_counter()
-        final, _ = rollout(step, s0, policy, T, B)
+        final, _ = run(s0)
         float(final.x[0])
         t_compile_and_run = time.perf_counter() - t0
         t0 = time.perf_counter()
-        final, _ = rollout(step, s0, policy, T, B)
+        final, _ = run(s0)
         float(final.x[0])
         dt = (time.perf_counter() - t0 - 0.035) / T
         results["env_steps_s_4096"] = A / dt

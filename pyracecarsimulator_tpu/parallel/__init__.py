@@ -1,4 +1,5 @@
-from .rollout import rollout, make_constant_policy, make_gap_follower_policy
+from .rollout import (rollout, make_rollout_fn, make_constant_policy,
+                      make_gap_follower_policy)
 from .mesh import (make_mesh, make_sharded_scan, make_sharded_step,
                    shard_state)
 from . import multihost

@@ -18,6 +18,36 @@ import jax.numpy as jnp
 from ..state import CarState
 
 
+def make_rollout_fn(step_fn: Callable, policy: Callable, num_steps: int,
+                    num_beams: int, keep_scans: bool = False):
+    """Build a REUSABLE compiled rollout: ``run(state0, key) ->
+    (final_state, traj)``. Use this (not repeated ``rollout`` calls) when
+    benchmarking or sweeping initial conditions — each ``rollout()`` call
+    builds a fresh jit closure and re-traces."""
+
+    def body(carry, t):
+        state, ranges, k = carry
+        if k is not None:
+            k, sub = jax.random.split(k)
+        else:
+            sub = None
+        action = policy(state, ranges, t)
+        out = step_fn(state, action, sub)
+        rec = {"pose": out.state.pose, "collision": out.collision}
+        if keep_scans:
+            rec["ranges"] = out.ranges
+        return (out.state, out.ranges, k), rec
+
+    @jax.jit
+    def run(state0, key=None):
+        zero_ranges = jnp.zeros(state0.batch_shape + (num_beams,))
+        (final, _, _), traj = jax.lax.scan(
+            body, (state0, zero_ranges, key), jnp.arange(num_steps))
+        return final, traj
+
+    return run
+
+
 def rollout(step_fn: Callable, state0: CarState, policy: Callable,
             num_steps: int, num_beams: int, key=None,
             keep_scans: bool = False):
@@ -39,28 +69,8 @@ def rollout(step_fn: Callable, state0: CarState, policy: Callable,
       always poses (T, ..., 3) and collision (T, ...); plus ranges if
       ``keep_scans``.
     """
-    batch = state0.batch_shape
-
-    def body(carry, t):
-        state, ranges, k = carry
-        if k is not None:
-            k, sub = jax.random.split(k)
-        else:
-            sub = None
-        action = policy(state, ranges, t)
-        out = step_fn(state, action, sub)
-        rec = {"pose": out.state.pose, "collision": out.collision}
-        if keep_scans:
-            rec["ranges"] = out.ranges
-        return (out.state, out.ranges, k), rec
-
-    @jax.jit
-    def run(state0, key):
-        zero_ranges = jnp.zeros(batch + (num_beams,))
-        (final, _, _), traj = jax.lax.scan(
-            body, (state0, zero_ranges, key), jnp.arange(num_steps))
-        return final, traj
-
+    run = make_rollout_fn(step_fn, policy, num_steps, num_beams,
+                          keep_scans)
     return run(state0, key)
 
 

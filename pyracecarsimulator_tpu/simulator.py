@@ -31,6 +31,7 @@ from .models import dynamics as dyn
 from .models.ttc import ttc_tables, check_ttc
 from .maps.loader import TrackMap, load_builtin, add_obstacle as _add_obs
 from .maps.segments import SegmentMap, build_segment_map
+from .maps.contours import build_general_segment_map
 from .ops.raymarch_xla import scan_poses as _scan_edf
 from .ops.raycast_segments import scan_poses_segments as _scan_segments
 from .ops.noise import add_scan_noise
@@ -59,9 +60,10 @@ def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
               tile_size: float = 4.0) -> SimBundle:
     """Load/accept a map and precompute everything the step needs.
 
-    backend: "segments" (dense geometry, fastest, exact-boundary semantics),
-    "edf" (reference-exact DT march), "edf_bilinear" (smooth DT march for
-    map gradients).
+    backend: "segments" (dense geometry, exact-boundary semantics),
+    "segments_simplified" (contour-simplified geometry: ~1-cell tolerance,
+    fastest on curvy maps), "edf" (reference-exact DT march),
+    "edf_bilinear" (smooth DT march for map gradients).
     """
     track = (load_builtin(track_or_name)
              if isinstance(track_or_name, str) else track_or_name)
@@ -75,6 +77,12 @@ def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
             (track.origin_x, track.origin_y),
             max_range=float(scan.max_range), tile_size=tile_size,
             real_hw=(track.height, track.width))
+    elif backend == "segments_simplified":
+        segmap = build_general_segment_map(
+            np.asarray(track.occupancy), track.resolution,
+            (track.origin_x, track.origin_y),
+            max_range=float(scan.max_range), tile_size=tile_size,
+            real_hw=(track.height, track.width))
     return SimBundle(track=track, segmap=segmap, car=car, scan=scan, sim=sim)
 
 
@@ -83,10 +91,20 @@ def make_scan_fn(bundle: SimBundle, backend: str = "segments"
     """Returns ``scan(poses) -> ranges`` for poses (..., 3), noiseless."""
     sc = bundle.scan
     theta_disc = sc.theta_discretization if sc.use_theta_table else 0
-    if backend == "segments":
+    if backend in ("segments", "segments_simplified"):
         if bundle.segmap is None:
             raise ValueError("bundle built without segment backend")
         segmap = bundle.segmap
+        from .maps.contours import GeneralSegmentMap
+        if isinstance(segmap, GeneralSegmentMap):
+            from .ops.raycast_general import scan_poses_general
+
+            def scan_fn(poses):
+                return scan_poses_general(
+                    segmap, poses, num_beams=sc.num_beams, fov=sc.fov,
+                    max_range=sc.max_range,
+                    theta_discretization=theta_disc)
+            return scan_fn
 
         def scan_fn(poses):
             return _scan_segments(
@@ -256,35 +274,31 @@ class RacecarSimulator:
     def set_state(self, state: CarState):
         self.state = state
 
+    def _build_segmap(self, track):
+        if self.backend not in ("segments", "segments_simplified"):
+            return None
+        builder = (build_general_segment_map
+                   if self.backend == "segments_simplified"
+                   else build_segment_map)
+        return builder(
+            np.asarray(track.occupancy), track.resolution,
+            (track.origin_x, track.origin_y),
+            max_range=float(self.bundle.scan.max_range),
+            tile_size=(self.bundle.segmap.tile_size
+                       if self.bundle.segmap is not None else 4.0),
+            real_hw=(track.height, track.width))
+
     def add_obstacle(self, x, y, size=0.2):
         """Rasterize an obstacle and rebuild EDF + segments (reference
         addObstacle; episode-frequency host path, SURVEY.md §3.4)."""
         track = _add_obs(self.bundle.track, x, y, size)
-        segmap = None
-        if self.backend == "segments":
-            segmap = build_segment_map(
-                np.asarray(track.occupancy), track.resolution,
-                (track.origin_x, track.origin_y),
-                max_range=float(self.bundle.scan.max_range),
-                tile_size=(self.bundle.segmap.tile_size
-                           if self.bundle.segmap is not None else 4.0),
-                real_hw=(track.height, track.width))
-        self.bundle = self.bundle._replace(track=track, segmap=segmap)
+        self.bundle = self.bundle._replace(track=track,
+                                           segmap=self._build_segmap(track))
         self._rebuild()
 
     def clear_obstacles(self):
         """Restore the pristine map (reference clearObstacles)."""
-        self.bundle = self.bundle._replace(track=self._pristine_track)
-        if self.backend == "segments":
-            sm = build_segment_map(
-                np.asarray(self._pristine_track.occupancy),
-                self._pristine_track.resolution,
-                (self._pristine_track.origin_x,
-                 self._pristine_track.origin_y),
-                max_range=float(self.bundle.scan.max_range),
-                tile_size=(self.bundle.segmap.tile_size
-                           if self.bundle.segmap is not None else 4.0),
-                real_hw=(self._pristine_track.height,
-                         self._pristine_track.width))
-            self.bundle = self.bundle._replace(segmap=sm)
+        t = self._pristine_track
+        self.bundle = self.bundle._replace(track=t,
+                                           segmap=self._build_segmap(t))
         self._rebuild()
