@@ -47,6 +47,8 @@ def main():
     from pyracecarsimulator_tpu.maps.segments import build_segment_map
     from pyracecarsimulator_tpu.ops.raycast_segments import (
         raycast_all, raycast_tiled)
+    from pyracecarsimulator_tpu.ops.raycast_grad import (
+        raycast_all_diff, raycast_tiled_diff)
     from pyracecarsimulator_tpu.ops.raymarch_xla import beam_angles
     from pyracecarsimulator_tpu.simulator import build_sim, make_step_fn
     from pyracecarsimulator_tpu.state import state_from_pose
@@ -81,12 +83,15 @@ def main():
         x0, y0, xb, yb, ct, st = ray_args(m)
         use_tiles = sm.tiles is not None and sm.tiles.shape[2] < sm.params.shape[1]
 
+        # *_diff: identical values, analytic O(rays) VJP — the fwd+bwd
+        # number reflects the framework's real backward path (XLA autodiff
+        # of the raw min-scan is ~10x slower backward).
         def fwd_once(xb, yb, ct, st):
             if use_tiles:
-                return raycast_tiled(sm.tiles, sm.tiles_shape, sm.tile_size,
-                                     sm.tile_origin, x0, y0, xb, yb, ct, st,
-                                     10.0)
-            return raycast_all(sm.params, xb, yb, ct, st, 10.0)
+                return raycast_tiled_diff(
+                    sm.tiles, sm.tiles_shape, sm.tile_size, sm.tile_origin,
+                    x0, y0, xb, yb, ct, st, 10.0)
+            return raycast_all_diff(sm.params, xb, yb, ct, st, 10.0)
 
         REPS_F = 50 if name == "levine" else 20
         REPS_B = 10  # the remote compile helper is flaky on long grad loops
