@@ -90,8 +90,9 @@ def main():
             if use_tiles:
                 return raycast_tiled_diff(
                     sm.tiles, sm.tiles_shape, sm.tile_size, sm.tile_origin,
-                    x0, y0, xb, yb, ct, st, 10.0)
-            return raycast_all_diff(sm.params, xb, yb, ct, st, 10.0)
+                    x0, y0, xb, yb, ct, st, 10.0, 512, sm.kv_tile)
+            return raycast_all_diff(sm.params, xb, yb, ct, st, 10.0,
+                                    1024, sm.kv)
 
         REPS_F = 50 if name == "levine" else 20
         REPS_B = 10  # the remote compile helper is flaky on long grad loops

@@ -116,6 +116,21 @@ def pad_segments(segs: np.ndarray, align: int = _LANE) -> np.ndarray:
     return out
 
 
+def split_pad_segments(segs: np.ndarray, align: int = _LANE):
+    """Sort verticals first, pad EACH group to a lane multiple.
+
+    Returns (params (4, KV+KH), KV, KH). Splitting lets raycast kernels
+    run two orientation-specialized sweeps with zero per-pair
+    ``is_vertical`` selects (~25% fewer VPU ops).
+    """
+    v = segs[segs[:, 3] > 0.5] if len(segs) else segs
+    h = segs[segs[:, 3] <= 0.5] if len(segs) else segs
+    pv = pad_segments(v, align)
+    ph = pad_segments(h, align)
+    ph[:, 3] = 0.0
+    return np.concatenate([pv, ph], axis=0).T, len(pv), len(ph)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class SegmentMap:
@@ -137,18 +152,24 @@ class SegmentMap:
     # reference's immediate out-of-map behavior (oracle trace_ray).
     extent: Tuple[float, float, float, float] = (
         -_FAR, _FAR, -_FAR, _FAR)
+    # V/H split points (static): params[:, :kv] are vertical segments,
+    # params[:, kv:] horizontal; likewise kv_tile inside each tile block.
+    # 0 = unsorted legacy layout (orientation read from row 3).
+    kv: int = 0
+    kv_tile: int = 0
 
     def tree_flatten(self):
         return (self.params, self.tiles), (
             self.n_segments, self.tile_size, self.tiles_shape,
-            self.tile_origin, self.extent)
+            self.tile_origin, self.extent, self.kv, self.kv_tile)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         params, tiles = leaves
-        n, ts, tshape, torg, ext = aux
+        n, ts, tshape, torg, ext, kv, kvt = aux
         return cls(params=params, tiles=tiles, n_segments=n, tile_size=ts,
-                   tiles_shape=tshape, tile_origin=torg, extent=ext)
+                   tiles_shape=tshape, tile_origin=torg, extent=ext,
+                   kv=kv, kv_tile=kvt)
 
 
 def _segment_tile_distance(segs: np.ndarray, cx, cy) -> np.ndarray:
@@ -177,8 +198,17 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
     """
     segs = extract_segments(occupancy, resolution, origin_xy,
                             occupied_thresh)
-    padded = pad_segments(segs)
-    out_params = jnp.asarray(padded.T, jnp.float32)  # (4, K)
+    # split layout drops per-pair orientation selects (~25% fewer ops) but
+    # pads V and H groups separately; only worth it when that padding
+    # doesn't blow up the table (small maps: mixed layout wins)
+    mixed_k = len(pad_segments(segs))
+    padded_T, kv_, kh_ = split_pad_segments(segs)
+    if kv_ + kh_ <= 1.25 * mixed_k:
+        out_params = jnp.asarray(padded_T, jnp.float32)  # (4, KV+KH)
+        kv = kv_
+    else:
+        out_params = jnp.asarray(pad_segments(segs).T, jnp.float32)
+        kv = 0
     rh, rw = real_hw if real_hw is not None else occupancy.shape
     ox0, oy0 = float(origin_xy[0]), float(origin_xy[1])
     extent = (ox0, ox0 + rw * resolution, oy0, oy0 + rh * resolution)
@@ -204,24 +234,51 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
                 idx = np.where(d <= reach)[0]
                 sel_idx.append(idx)
                 k_needed = max(k_needed, len(idx))
-        if k_tile <= 0:
-            k_tile = max(_LANE, ((k_needed + _LANE - 1) // _LANE) * _LANE)
-        for idx in sel_idx:
-            # Same never-hit sentinel as pad_segments: empty run interval.
-            block = np.zeros((k_tile, 4), np.float64)
+        # split every tile into V|H sub-blocks with GLOBAL padded sizes
+        def _pad_group(group, kp):
+            block = np.zeros((kp, 4), np.float64)
             block[:, 1] = 1.0
             block[:, 2] = -1.0
-            block[:, 3] = 1.0
-            take = idx[:k_tile]
-            block[: len(take)] = segs[take]
-            lists.append(block.T)     # (4, k_tile)
-        tiles = jnp.asarray(np.stack(lists), jnp.float32)  # (T, 4, K_tile)
+            take = group[:kp]
+            block[: len(take)] = take
+            return block
+        kv_needed = kh_needed = 0
+        groups = []
+        for idx in sel_idx:
+            sub = segs[idx]
+            v = sub[sub[:, 3] > 0.5]
+            h = sub[sub[:, 3] <= 0.5]
+            groups.append((v, h))
+            kv_needed = max(kv_needed, len(v))
+            kh_needed = max(kh_needed, len(h))
+        a = lambda n: max(_LANE, ((n + _LANE - 1) // _LANE) * _LANE)
+        kv_t, kh_t = a(kv_needed), a(kh_needed)
+        mixed_kt = a(max(len(v) + len(h) for v, h in groups))
+        if k_tile > 0:
+            kv_t = kh_t = a(k_tile // 2)
+        if kv_t + kh_t <= 1.25 * mixed_kt:
+            for v, h in groups:
+                bv = _pad_group(v, kv_t)
+                bv[:, 3] = 1.0
+                bh = _pad_group(h, kh_t)
+                bh[:, 3] = 0.0
+                lists.append(np.concatenate([bv, bh], axis=0).T)
+            kv_tile = kv_t
+        else:
+            for v, h in groups:
+                blk = _pad_group(np.concatenate([v, h], axis=0), mixed_kt)
+                lists.append(blk.T)
+            kv_tile = 0
+        tiles = jnp.asarray(np.stack(lists), jnp.float32)
         tiles_shape = (nr, nc)
         tile_origin = (ox, oy)
+    else:
+        kv_tile = 0
 
     return SegmentMap(params=out_params, n_segments=len(segs), tiles=tiles,
                       tile_size=float(tile_size), tiles_shape=tiles_shape,
-                      tile_origin=tile_origin, extent=extent)
+                      tile_origin=tile_origin, extent=extent,
+                      kv=kv, kv_tile=kv_tile)
 
 
 def raycast_segments_numpy(segs: np.ndarray, x, y, cos_t, sin_t,

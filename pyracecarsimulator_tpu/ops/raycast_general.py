@@ -70,13 +70,37 @@ def _fwd_general(seg_params, x, y, cos_t, sin_t, max_range, chunk):
     return jnp.minimum(best_t, max_range), wx, wy, hit
 
 
+def _fwd_general_plain(seg_params, x, y, cos_t, sin_t, max_range, chunk):
+    """Cheap forward: min only, no winner tracking (runs outside autodiff)."""
+    k = seg_params.shape[1]
+    chunk = _fit_chunk(k, chunk)
+    chunks = seg_params.reshape(6, k // chunk, chunk).transpose(1, 0, 2)
+
+    def body(best_t, seg):
+        p0x, p0y, ex, ey, L = seg[0], seg[1], seg[2], seg[3], seg[4]
+        nx, ny = -ey, ex
+        denom = cos_t[..., None] * nx + sin_t[..., None] * ny
+        d_safe = jnp.where(denom == 0.0, 1e-30, denom)
+        t = ((p0x - x[..., None]) * nx + (p0y - y[..., None]) * ny) / d_safe
+        hx = x[..., None] + t * cos_t[..., None] - p0x
+        hy = y[..., None] + t * sin_t[..., None] - p0y
+        s = hx * ex + hy * ey
+        valid = (t >= 0.0) & (s >= 0.0) & (s <= L) & (denom != 0.0)
+        t = jnp.where(valid, t, _BIG)
+        return jnp.minimum(best_t, jnp.min(t, axis=-1)), None
+
+    init = jnp.full(jnp.shape(x), _BIG)
+    best_t, _ = jax.lax.scan(body, init, chunks)
+    return jnp.minimum(best_t, max_range)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def raycast_general(seg_params, x, y, cos_t, sin_t,
                     max_range=10.0, chunk: int = 512):
-    """Differentiable raycast vs general segments (analytic O(rays) VJP)."""
-    r, _, _, _ = _fwd_general(seg_params, x, y, cos_t, sin_t, max_range,
+    """Differentiable raycast vs general segments (analytic O(rays) VJP).
+    Winner tracking runs only under autodiff (custom_vjp fwd rule)."""
+    return _fwd_general_plain(seg_params, x, y, cos_t, sin_t, max_range,
                               chunk)
-    return r
 
 
 def _rg_fwd(seg_params, x, y, cos_t, sin_t, max_range, chunk):
@@ -161,15 +185,47 @@ def _fwd_general_tiled(tiles, tiles_shape, tile_size, tile_origin,
     return jnp.minimum(best_t, max_range), wx, wy, hit
 
 
+def _fwd_general_tiled_plain(tiles, tiles_shape, tile_size, tile_origin,
+                             x0, y0, x, y, cos_t, sin_t, max_range,
+                             chunk):
+    nr, nc = tiles_shape
+    tox, toy = tile_origin
+    ci = jnp.clip(((x0 - tox) / tile_size).astype(jnp.int32), 0, nc - 1)
+    ri = jnp.clip(((y0 - toy) / tile_size).astype(jnp.int32), 0, nr - 1)
+    agent_segs = jnp.take(tiles, ri * nc + ci, axis=0)
+    k = tiles.shape[2]
+    chunk = _fit_chunk(k, chunk)
+    ch = agent_segs.reshape(x0.shape[0], 6, k // chunk, chunk)
+    ch = ch.transpose(2, 0, 1, 3)
+
+    def body(best_t, seg):
+        get = lambda i: seg[:, i][:, None, :]
+        p0x, p0y, ex, ey, L = get(0), get(1), get(2), get(3), get(4)
+        nx, ny = -ey, ex
+        denom = cos_t[..., None] * nx + sin_t[..., None] * ny
+        d_safe = jnp.where(denom == 0.0, 1e-30, denom)
+        t = ((p0x - x[..., None]) * nx + (p0y - y[..., None]) * ny) / d_safe
+        hx = x[..., None] + t * cos_t[..., None] - p0x
+        hy = y[..., None] + t * sin_t[..., None] - p0y
+        s = hx * ex + hy * ey
+        valid = (t >= 0.0) & (s >= 0.0) & (s <= L) & (denom != 0.0)
+        t = jnp.where(valid, t, _BIG)
+        return jnp.minimum(best_t, jnp.min(t, axis=-1)), None
+
+    init = jnp.full(jnp.shape(x), _BIG)
+    best_t, _ = jax.lax.scan(body, init, ch)
+    return jnp.minimum(best_t, max_range)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 10, 11))
 def raycast_general_tiled(tiles, tiles_shape, tile_size, tile_origin,
                           x0, y0, x, y, cos_t, sin_t,
                           max_range=10.0, chunk: int = 512):
-    """Tile-culled differentiable general-segment raycast."""
-    r, _, _, _ = _fwd_general_tiled(tiles, tiles_shape, tile_size,
+    """Tile-culled differentiable general-segment raycast (cheap forward
+    outside autodiff)."""
+    return _fwd_general_tiled_plain(tiles, tiles_shape, tile_size,
                                     tile_origin, x0, y0, x, y, cos_t,
                                     sin_t, max_range, chunk)
-    return r
 
 
 def _rgt_fwd(tiles, tiles_shape, tile_size, tile_origin,

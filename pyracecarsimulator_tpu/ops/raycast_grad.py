@@ -124,25 +124,31 @@ def _winner_vjp(r, u_win, v_win, hit, g):
     return gx, gy, gct, gst
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def raycast_all_diff(segment_params, x, y, cos_t, sin_t,
-                     max_range=10.0, chunk: int = 1024):
+                     max_range=10.0, chunk: int = 1024, kv: int = 0):
     """Differentiable full-set raycast (analytic VJP, O(rays) backward).
 
     Same values as ``raycast_all``. ``segment_params`` receives a zero
-    cotangent (map grads use the EDF backend, module doc)."""
-    r, _, _, _ = _fwd_with_winner(segment_params, x, y, cos_t, sin_t,
-                                  max_range, chunk)
-    return r
+    cotangent (map grads use the EDF backend, module doc).
+
+    The primal path below runs only OUTSIDE autodiff, so it uses the cheap
+    forward; the winner-tracking forward runs only under jax.grad (the
+    custom_vjp fwd rule)."""
+    from .raycast_segments import raycast_all
+    return raycast_all(segment_params, x, y, cos_t, sin_t, max_range,
+                       chunk=chunk, kv=kv)
 
 
-def _rc_fwd(segment_params, x, y, cos_t, sin_t, max_range, chunk):
+def _rc_fwd(segment_params, x, y, cos_t, sin_t, max_range, chunk, kv):
+    # winner-tracking forward: the split layout keeps the orientation row,
+    # so the mixed-path tracker stays correct (runs only under autodiff)
     r, u_win, v_win, hit = _fwd_with_winner(
         segment_params, x, y, cos_t, sin_t, max_range, chunk)
     return r, (jnp.shape(segment_params), r, u_win, v_win, hit)
 
 
-def _rc_bwd(max_range, chunk, res, g):
+def _rc_bwd(max_range, chunk, kv, res, g):
     shape, r, u_win, v_win, hit = res
     gx, gy, gct, gst = _winner_vjp(r, u_win, v_win, hit, g)
     return jnp.zeros(shape, jnp.float32), gx, gy, gct, gst
@@ -151,29 +157,32 @@ def _rc_bwd(max_range, chunk, res, g):
 raycast_all_diff.defvjp(_rc_fwd, _rc_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(1, 2, 3, 10, 11, 12))
 def raycast_tiled_diff(tiles, tiles_shape, tile_size, tile_origin,
                        x0, y0, x, y, cos_t, sin_t,
-                       max_range=10.0, chunk: int = 512):
+                       max_range=10.0, chunk: int = 512,
+                       kv_tile: int = 0):
     """Differentiable tile-culled raycast (analytic VJP, O(rays) backward).
 
     ``tiles``/``x0``/``y0`` receive zero cotangents (tile selection is
-    piecewise constant in position)."""
-    r, _, _, _ = _fwd_tiled_winner(tiles, tiles_shape, tile_size,
-                                   tile_origin, x0, y0, x, y, cos_t, sin_t,
-                                   max_range, chunk)
-    return r
+    piecewise constant in position). Cheap forward outside autodiff."""
+    from .raycast_segments import raycast_tiled
+    return raycast_tiled(tiles, tiles_shape, tile_size, tile_origin,
+                         x0, y0, x, y, cos_t, sin_t, max_range,
+                         chunk=chunk, kv_tile=kv_tile)
 
 
 def _rct_fwd(tiles, tiles_shape, tile_size, tile_origin,
-             x0, y0, x, y, cos_t, sin_t, max_range, chunk):
+             x0, y0, x, y, cos_t, sin_t, max_range, chunk, kv_tile):
     r, u_win, v_win, hit = _fwd_tiled_winner(
         tiles, tiles_shape, tile_size, tile_origin, x0, y0, x, y,
         cos_t, sin_t, max_range, chunk)
     return r, (jnp.shape(tiles), jnp.shape(x0), r, u_win, v_win, hit)
 
 
-def _rct_bwd(tiles_shape, tile_size, tile_origin, max_range, chunk, res, g):
+def _rct_bwd(tiles_shape, tile_size, tile_origin, max_range, chunk,
+             kv_tile, res, g):
     tshape, ashape, r, u_win, v_win, hit = res
     gx, gy, gct, gst = _winner_vjp(r, u_win, v_win, hit, g)
     z = jnp.zeros(ashape, jnp.float32)

@@ -5,19 +5,22 @@ kernel" of SURVEY.md §7 step 4, re-targeted at the dense-geometry backend
 that the gather-bound DT march graduated into — see raycast_segments.py).
 
 Design (see /opt/skills/guides/pallas_guide.md):
-  * Grid over ray blocks; each program handles ``RAY_BLOCK`` rays laid on
-    sublanes — ray inputs arrive as (N, 1) columns so every ray owns a
-    sublane row with no in-kernel relayout.
-  * The whole segment table (4, K) sits in VMEM and is swept in 128-lane
-    chunks by a ``fori_loop``; the running (best_t, u_win, isv_win) stay in
-    vector registers for the entire sweep — unlike the XLA scan version,
-    whose loop carry round-trips HBM every chunk (the measured berlin gap).
-  * The backward pass needs no kernel at all: the forward also writes the
-    winning segment's (u_perp, is_vertical), making the VJP closed-form and
+  * Rays are laid out RAY-MAJOR: each program owns a (ROWS, 128) block of
+    rays — full lane utilization (a first draft used (N, 1) ray columns,
+    wasting 127/128 lanes and drowning in grid overhead).
+  * The whole segment table (4, K) sits in VMEM; a ``fori_loop`` sweeps it
+    one segment at a time: 4 scalar loads broadcast against the whole ray
+    block, ~8 VPU ops per (ray, segment) pair, running (best, winner)
+    state held on-chip for the entire sweep.
+  * Orientation-specialized: with the split layout
+    (maps/segments.py::split_pad_segments) the vertical and horizontal
+    sweeps carry no per-pair orientation selects.
+  * The backward pass needs no kernel: the forward also writes the winning
+    segment's (u_perp, is_vertical), making the VJP closed-form and
     elementwise over rays (raycast_grad.py module doc).
 
-The kernel computes exactly the same values as ``raycast_all`` (tested in
-tests/test_pallas.py, CPU interpret mode + TPU when available).
+Matches ``raycast_all`` exactly (tests/test_pallas.py: interpret mode on
+CPU, compiled on TPU via bench/verify drives).
 """
 
 from __future__ import annotations
@@ -31,125 +34,154 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = np.float32(3.0e38)
-RAY_BLOCK = 512          # rays per program (sublane axis), multiple of 8
-SEG_CHUNK = 128          # segments per sweep step (lane axis)
+ROWS = 32             # ray rows per program -> 32*128 = 4096 rays/program
+LANES = 128
 
 
-def _kernel(seg_ref, x_ref, y_ref, ct_ref, st_ref,
-            out_ref, u_ref, v_ref, *, max_range, n_chunks):
-    x = x_ref[:, :]       # (RB, 1)
+def _kernel(seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref, is_ref,
+            out_ref, u_ref, v_ref, *, max_range, kv, k_total):
+    x = x_ref[:, :]
     y = y_ref[:, :]
     ct = ct_ref[:, :]
     st = st_ref[:, :]
+    inv_c = ic_ref[:, :]
+    inv_s = is_ref[:, :]
 
-    def body(c, carry):
-        best_t, best_u, best_v = carry
-        sl = pl.ds(c * SEG_CHUNK, SEG_CHUNK)
-        p = seg_ref[0, sl][None, :]          # (1, CK)
-        lo = seg_ref[1, sl][None, :]
-        hi = seg_ref[2, sl][None, :]
-        isv = seg_ref[3, sl][None, :] > 0.5
+    def sweep(lo, hi, vertical, carry):
+        o_perp = x if vertical else y
+        o_along = y if vertical else x
+        u_inv = inv_c if vertical else inv_s
+        u_along = st if vertical else ct
 
-        o_perp = jnp.where(isv, x, y)        # (RB, CK)
-        o_along = jnp.where(isv, y, x)
-        u_perp = jnp.where(isv, ct, st)
-        u_along = jnp.where(isv, st, ct)
-        u_safe = jnp.where(u_perp == 0.0, 1e-30, u_perp)
-        t = (p - o_perp) / u_safe
-        a = o_along + t * u_along
-        valid = (t >= 0.0) & (a >= lo) & (a <= hi) & (u_perp != 0.0)
-        t = jnp.where(valid, t, _BIG)
-        tmin = jnp.min(t, axis=1, keepdims=True)           # (RB, 1)
-        m = t == tmin
-        u_win = jnp.max(jnp.where(m, u_perp, -_BIG), axis=1, keepdims=True)
-        v_win = jnp.max(jnp.where(m, isv.astype(jnp.float32), -1.0),
-                        axis=1, keepdims=True)
-        upd = tmin < best_t
-        return (jnp.where(upd, tmin, best_t),
-                jnp.where(upd, u_win, best_u),
-                jnp.where(upd, v_win, best_v))
+        def body(k, carry):
+            best_t, best_u, best_v = carry
+            p = seg_ref[0, k]
+            slo = seg_ref[1, k]
+            shi = seg_ref[2, k]
+            t = (p - o_perp) * u_inv
+            a = o_along + t * u_along
+            valid = (t >= 0.0) & ((a - slo) * (shi - a) >= 0.0)
+            t = jnp.where(valid, t, _BIG)
+            upd = t < best_t
+            u_here = ct if vertical else st
+            return (jnp.where(upd, t, best_t),
+                    jnp.where(upd, u_here, best_u),
+                    jnp.where(upd, 1.0 if vertical else 0.0, best_v))
 
-    init = (jnp.full((x.shape[0], 1), _BIG, jnp.float32),
-            jnp.ones((x.shape[0], 1), jnp.float32),
-            jnp.full((x.shape[0], 1), -1.0, jnp.float32))
-    best_t, best_u, best_v = jax.lax.fori_loop(0, n_chunks, body, init)
+        return jax.lax.fori_loop(lo, hi, body, carry)
+
+    shape = x.shape
+    carry = (jnp.full(shape, _BIG, jnp.float32),
+             jnp.ones(shape, jnp.float32),
+             jnp.full(shape, -1.0, jnp.float32))
+    if kv > 0:
+        carry = sweep(0, kv, True, carry)
+        carry = sweep(kv, k_total, False, carry)
+    else:
+        # mixed layout: orientation per segment via two guarded updates
+        def body(k, carry):
+            best_t, best_u, best_v = carry
+            p = seg_ref[0, k]
+            slo = seg_ref[1, k]
+            shi = seg_ref[2, k]
+            isv = seg_ref[3, k] > 0.5
+            o_perp = jnp.where(isv, x, y)
+            o_along = jnp.where(isv, y, x)
+            u_inv = jnp.where(isv, inv_c, inv_s)
+            u_along = jnp.where(isv, st, ct)
+            t = (p - o_perp) * u_inv
+            a = o_along + t * u_along
+            valid = (t >= 0.0) & ((a - slo) * (shi - a) >= 0.0)
+            t = jnp.where(valid, t, _BIG)
+            upd = t < best_t
+            u_here = jnp.where(isv, ct, st)
+            v_here = jnp.where(isv, 1.0, 0.0)
+            return (jnp.where(upd, t, best_t),
+                    jnp.where(upd, u_here, best_u),
+                    jnp.where(upd, v_here, best_v))
+
+        carry = jax.lax.fori_loop(0, k_total, body, carry)
+
+    best_t, best_u, best_v = carry
     out_ref[:, :] = jnp.minimum(best_t, max_range)
     u_ref[:, :] = best_u
     v_ref[:, :] = best_v
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_range", "interpret"))
-def _raycast_pallas_raw(segment_params, x, y, cos_t, sin_t,
-                        max_range: float = 10.0, interpret: bool = False):
-    """Flat-ray Pallas raycast. Rays are (N,) with N % RAY_BLOCK == 0.
-
-    Returns (ranges, u_win, isv_win) each (N,).
-    """
-    n = x.shape[0]
-    if n % RAY_BLOCK:
-        raise ValueError(f"ray count {n} not a multiple of {RAY_BLOCK}")
+                   static_argnames=("max_range", "kv", "interpret"))
+def _raycast_pallas_raw(segment_params, x, y, cos_t, sin_t, inv_c, inv_s,
+                        max_range: float = 10.0, kv: int = 0,
+                        interpret: bool = False):
+    """Ray-major Pallas raycast. Ray args are (Nr, 128) 2D."""
+    nr = x.shape[0]
+    if nr % ROWS:
+        raise ValueError(f"ray rows {nr} not a multiple of {ROWS}")
     k = segment_params.shape[1]
-    if k % SEG_CHUNK:
-        raise ValueError(f"segment count {k} not a multiple of {SEG_CHUNK}")
-    col = lambda a: a.reshape(n, 1)
-    grid = (n // RAY_BLOCK,)
-    ray_spec = pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
+    grid = (nr // ROWS,)
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     seg_spec = pl.BlockSpec((4, k), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((RAY_BLOCK, 1), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)] * 3
-    out_shape = [jax.ShapeDtypeStruct((n, 1), jnp.float32)] * 3
-    kernel = functools.partial(_kernel, max_range=max_range,
-                               n_chunks=k // SEG_CHUNK)
+    out_specs = [ray_spec] * 3
+    out_shape = [jax.ShapeDtypeStruct((nr, LANES), jnp.float32)] * 3
+    kernel = functools.partial(_kernel, max_range=max_range, kv=kv,
+                               k_total=k)
     r, u, v = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[seg_spec, ray_spec, ray_spec, ray_spec, ray_spec],
+        in_specs=[seg_spec] + [ray_spec] * 6,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(segment_params, col(x), col(y), col(cos_t), col(sin_t))
-    return r.reshape(n), u.reshape(n), v.reshape(n)
+    )(segment_params, x, y, cos_t, sin_t, inv_c, inv_s)
+    return r, u, v
 
 
-def _pad_to_block(a, n_pad):
-    return jnp.pad(a, (0, n_pad))
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def raycast_pallas(segment_params, x, y, cos_t, sin_t,
-                   max_range: float = 10.0, interpret: bool = False):
-    """Differentiable fused-Pallas raycast; ray args of any common shape.
-
-    Values match ``raycast_all``; VJP is the analytic O(rays) form with
-    residuals produced by the same kernel launch.
-    """
-    r, _, _ = _rp_fwd_impl(segment_params, x, y, cos_t, sin_t, max_range,
-                           interpret)
-    return r
-
-
-def _rp_fwd_impl(segment_params, x, y, cos_t, sin_t, max_range, interpret):
+def _rp_fwd_impl(segment_params, x, y, cos_t, sin_t, max_range, kv,
+                 interpret):
+    from .raycast_segments import _ray_invs
     shape = jnp.shape(x)
     n = int(np.prod(shape)) if shape else 1
-    n_pad = (-n) % RAY_BLOCK
-    flat = lambda a: _pad_to_block(jnp.ravel(a), n_pad)
+    block = ROWS * LANES
+    n_pad = (-n) % block
+    inv_c, inv_s = _ray_invs(cos_t, sin_t)
+
+    def prep(a):
+        f = jnp.ravel(a)
+        if n_pad:
+            f = jnp.pad(f, (0, n_pad))
+        return f.reshape(-1, LANES)
+
     r, u, v = _raycast_pallas_raw(
-        segment_params, flat(x), flat(y), flat(cos_t), flat(sin_t),
-        max_range=float(max_range), interpret=interpret)
-    unflat = lambda a: a[:n].reshape(shape)
+        segment_params, prep(x), prep(y), prep(cos_t), prep(sin_t),
+        prep(inv_c), prep(inv_s),
+        max_range=float(max_range), kv=kv, interpret=interpret)
+    unflat = lambda a: a.reshape(-1)[:n].reshape(shape)
     return unflat(r), unflat(u), unflat(v)
 
 
-def _rp_fwd(segment_params, x, y, cos_t, sin_t, max_range, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def raycast_pallas(segment_params, x, y, cos_t, sin_t,
+                   max_range: float = 10.0, kv: int = 0,
+                   interpret: bool = False):
+    """Differentiable fused-Pallas raycast; ray args of any common shape.
+
+    Values match ``raycast_all``; VJP is the analytic O(rays) form with
+    residuals produced by the same kernel launch. ``kv`` is the static V/H
+    split point of the table (0 = mixed layout)."""
+    r, _, _ = _rp_fwd_impl(segment_params, x, y, cos_t, sin_t, max_range,
+                           kv, interpret)
+    return r
+
+
+def _rp_fwd(segment_params, x, y, cos_t, sin_t, max_range, kv, interpret):
     r, u, v = _rp_fwd_impl(segment_params, x, y, cos_t, sin_t, max_range,
-                           interpret)
+                           kv, interpret)
     return r, (jnp.shape(segment_params), r, u, v)
 
 
-def _rp_bwd(max_range, interpret, res, g):
+def _rp_bwd(max_range, kv, interpret, res, g):
     shape, r, u_win, v_win = res
     hit = r < max_range
     u_safe = jnp.where(u_win == 0.0, 1e-30, u_win)

@@ -53,7 +53,7 @@ def make_mesh(devices=None, agents_axis: Optional[int] = None,
 
 
 def make_sharded_scan(mesh: Mesh, segment_params, num_beams: int,
-                      fov: float, max_range: float = 10.0):
+                      fov: float, max_range: float = 10.0, kv: int = 0):
     """Build ``scan(poses) -> ranges`` sharded (agents, beams) on the mesh.
 
     poses: (A, 3) sharded on 'agents'; returns (A, num_beams) sharded
@@ -78,7 +78,8 @@ def make_sharded_scan(mesh: Mesh, segment_params, num_beams: int,
         ct, st = jnp.cos(ang), jnp.sin(ang)
         xb = jnp.broadcast_to(x, ang.shape)
         yb = jnp.broadcast_to(y, ang.shape)
-        return raycast_all_diff(segment_params, xb, yb, ct, st, max_range)
+        return raycast_all_diff(segment_params, xb, yb, ct, st, max_range,
+                                1024, kv)
 
     fn = shard_map(shard_body, mesh=mesh,
                    in_specs=(P("beams"), P("agents", None)),
@@ -110,6 +111,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
     if bundle.segmap is None:
         raise ValueError("sharded step needs the segment backend")
     seg_params = bundle.segmap.params
+    seg_kv = getattr(bundle.segmap, "kv", 0)
     num_beams = int(sc.num_beams)
     nb_shards = mesh.shape["beams"]
     if num_beams % nb_shards:
@@ -132,7 +134,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
         xb = jnp.broadcast_to(sx[:, None], ang.shape)
         yb = jnp.broadcast_to(sy[:, None], ang.shape)
         ranges = raycast_all_diff(seg_params, xb, yb, ct, st,
-                                  float(sc.max_range))
+                                  float(sc.max_range), 1024, seg_kv)
         if with_noise and key is not None:
             kl = jax.random.fold_in(key, jax.lax.axis_index("beams")
                                     + nb_shards

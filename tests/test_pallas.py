@@ -9,7 +9,8 @@ from pyracecarsimulator_tpu.maps.segments import (
     extract_segments, pad_segments)
 from pyracecarsimulator_tpu.ops.raycast_segments import raycast_all
 from pyracecarsimulator_tpu.ops.raycast_pallas import (
-    raycast_pallas, RAY_BLOCK)
+    raycast_pallas, ROWS, LANES)
+RAY_BLOCK = ROWS * LANES
 
 
 def _setup(small_track, rng, n):
@@ -27,19 +28,19 @@ def _setup(small_track, rng, n):
 def test_matches_xla_exact(small_track, rng):
     params, x, y, ct, st = _setup(small_track, rng, RAY_BLOCK)
     ref = raycast_all(params, x, y, ct, st, 10.0)
-    got = raycast_pallas(params, x, y, ct, st, 10.0, True)
+    got = raycast_pallas(params, x, y, ct, st, 10.0, 0, True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
 def test_non_block_multiple_and_2d_shape(small_track, rng):
     params, x, y, ct, st = _setup(small_track, rng, 700)
     ref = raycast_all(params, x, y, ct, st, 10.0)
-    got = raycast_pallas(params, x, y, ct, st, 10.0, True)
+    got = raycast_pallas(params, x, y, ct, st, 10.0, 0, True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
     # 2D ray batch
     x2 = x[:690].reshape(30, 23)
     y2, ct2, st2 = (a[:690].reshape(30, 23) for a in (y, ct, st))
-    got2 = raycast_pallas(params, x2, y2, ct2, st2, 10.0, True)
+    got2 = raycast_pallas(params, x2, y2, ct2, st2, 10.0, 0, True)
     assert got2.shape == (30, 23)
     np.testing.assert_array_equal(np.asarray(got2).ravel(),
                                   np.asarray(ref)[:690])
@@ -52,10 +53,27 @@ def test_vjp_matches_autodiff(small_track, rng):
         return jnp.sum(raycast_all(params, x, y, ct, st, 10.0) ** 2)
 
     def l_pal(x, y, ct, st):
-        return jnp.sum(raycast_pallas(params, x, y, ct, st, 10.0, True) ** 2)
+        return jnp.sum(raycast_pallas(params, x, y, ct, st, 10.0, 0, True) ** 2)
 
     g1 = jax.grad(l_ref, argnums=(0, 1, 2, 3))(x, y, ct, st)
     g2 = jax.grad(l_pal, argnums=(0, 1, 2, 3))(x, y, ct, st)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_split_layout_matches(small_track, rng):
+    from pyracecarsimulator_tpu.maps.segments import (
+        extract_segments, split_pad_segments)
+    occ = np.asarray(small_track.occupancy)
+    segs = extract_segments(occ, small_track.resolution,
+                            (small_track.origin_x, small_track.origin_y))
+    paramsT, kv, kh = split_pad_segments(segs)
+    params = jnp.asarray(paramsT, jnp.float32)
+    x = jnp.asarray(rng.uniform(-4, 4, 512).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-4, 4, 512).astype(np.float32))
+    th = rng.uniform(-np.pi, np.pi, 512).astype(np.float32)
+    ct, st = jnp.asarray(np.cos(th)), jnp.asarray(np.sin(th))
+    ref = raycast_all(params, x, y, ct, st, 10.0, 1024, kv)
+    got = raycast_pallas(params, x, y, ct, st, 10.0, kv, True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
