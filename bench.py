@@ -136,6 +136,33 @@ def main():
             _log(f"[bench] {name} stage failed: {e!r}")
         extra[f"{name}_segments"] = int(sm.n_segments)
 
+    # 1024-agent forward-only config (BASELINE.json configs[1])
+    try:
+        m = load_builtin("levine")
+        sm1 = build_segment_map(
+            np.asarray(m.occupancy), m.resolution,
+            (m.origin_x, m.origin_y), max_range=10.0, tile_size=4.0,
+            real_hw=(m.height, m.width))
+        x0s, y0s, xbs, ybs, cts, sts = ray_args(m, 1024)
+
+        @jax.jit
+        def loop1024(xb, yb, ct, st):
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                r = raycast_all(sm1.params, xb + d, yb + d, ct, st, 10.0,
+                                1024, sm1.kv)
+                return acc + jnp.sum(r), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(20))
+            return acc
+
+        _timed(loop1024, xbs, ybs, cts, sts)
+        dt = _timed(loop1024, xbs, ybs, cts, sts) / 20
+        results["levine_1024_fwd"] = 1024 * B / dt
+        _log(f"[bench] levine_1024_fwd rays/s = "
+             f"{results['levine_1024_fwd']:.3e}")
+    except Exception as e:
+        _log(f"[bench] 1024-agent stage failed: {e!r}")
+
     # simplified-geometry backend on berlin (contour-DP, tol=1 cell)
     try:
         from pyracecarsimulator_tpu.maps.contours import (

@@ -204,14 +204,15 @@ class GeneralSegmentMap:
     extent: Tuple[float, float, float, float] = (-1e30, 1e30, -1e30, 1e30)
 
     def tree_flatten(self):
-        return (self.params, self.tiles), (
-            self.n_segments, self.tol_cells, self.tile_size,
+        # n_segments is a leaf (see segments.SegmentMap.tree_flatten)
+        return (self.params, self.tiles, self.n_segments), (
+            self.tol_cells, self.tile_size,
             self.tiles_shape, self.tile_origin, self.extent)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        params, tiles = leaves
-        n, tol, ts, tshape, torg, ext = aux
+        params, tiles, n = leaves
+        tol, ts, tshape, torg, ext = aux
         return cls(params=params, tiles=tiles, n_segments=n, tol_cells=tol,
                    tile_size=ts, tiles_shape=tshape, tile_origin=torg,
                    extent=ext)

@@ -159,14 +159,17 @@ class SegmentMap:
     kv_tile: int = 0
 
     def tree_flatten(self):
-        return (self.params, self.tiles), (
-            self.n_segments, self.tile_size, self.tiles_shape,
+        # n_segments rides as a LEAF: it changes on obstacle rebuilds while
+        # padded shapes usually don't - keeping it out of the aux data
+        # keeps the jit cache key stable (no recompiles per obstacle).
+        return (self.params, self.tiles, self.n_segments), (
+            self.tile_size, self.tiles_shape,
             self.tile_origin, self.extent, self.kv, self.kv_tile)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        params, tiles = leaves
-        n, ts, tshape, torg, ext, kv, kvt = aux
+        params, tiles, n = leaves
+        ts, tshape, torg, ext, kv, kvt = aux
         return cls(params=params, tiles=tiles, n_segments=n, tile_size=ts,
                    tiles_shape=tshape, tile_origin=torg, extent=ext,
                    kv=kv, kv_tile=kvt)

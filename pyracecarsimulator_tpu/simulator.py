@@ -86,40 +86,49 @@ def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
     return SimBundle(track=track, segmap=segmap, car=car, scan=scan, sim=sim)
 
 
-def make_scan_fn(bundle: SimBundle, backend: str = "segments"
-                 ) -> Callable[[Any], Any]:
-    """Returns ``scan(poses) -> ranges`` for poses (..., 3), noiseless."""
+def make_scan_fn(bundle: SimBundle, backend: str = "segments",
+                 map_cell: Optional[dict] = None) -> Callable[[Any], Any]:
+    """Returns ``scan(poses) -> ranges`` for poses (..., 3), noiseless.
+
+    The map (segment table / EDF) is read from ``map_cell["map"]`` at call
+    time and passed into the compiled function as a *traced argument*:
+    swapping in a rebuilt map of the same padded shape (the obstacle
+    add/clear path, SURVEY.md §3.4) does NOT retrigger compilation.
+    """
     sc = bundle.scan
     theta_disc = sc.theta_discretization if sc.use_theta_table else 0
     if backend in ("segments", "segments_simplified"):
         if bundle.segmap is None:
             raise ValueError("bundle built without segment backend")
-        segmap = bundle.segmap
+        if map_cell is None:
+            map_cell = {"map": bundle.segmap}
         from .maps.contours import GeneralSegmentMap
-        if isinstance(segmap, GeneralSegmentMap):
+        if isinstance(bundle.segmap, GeneralSegmentMap):
             from .ops.raycast_general import scan_poses_general
 
             def scan_fn(poses):
                 return scan_poses_general(
-                    segmap, poses, num_beams=sc.num_beams, fov=sc.fov,
-                    max_range=sc.max_range,
+                    map_cell["map"], poses, num_beams=sc.num_beams,
+                    fov=sc.fov, max_range=sc.max_range,
                     theta_discretization=theta_disc)
             return scan_fn
 
         def scan_fn(poses):
             return _scan_segments(
-                segmap, poses, num_beams=sc.num_beams, fov=sc.fov,
+                map_cell["map"], poses, num_beams=sc.num_beams, fov=sc.fov,
                 max_range=sc.max_range, theta_discretization=theta_disc)
         return scan_fn
 
     interp = "bilinear" if backend == "edf_bilinear" else "nearest"
+    if map_cell is None:
+        map_cell = {"map": bundle.track}
     track = bundle.track
     org = jnp.asarray((track.origin_x, track.origin_y), jnp.float32)
     bounds = (track.height, track.width)
 
     def scan_fn(poses):
         return _scan_edf(
-            track.edf, track.resolution, org, poses,
+            map_cell["map"].edf, track.resolution, org, poses,
             num_beams=sc.num_beams, fov=sc.fov, max_range=sc.max_range,
             eps=sc.ray_tracing_epsilon, max_iters=sc.max_march_iters,
             interp=interp, theta_discretization=theta_disc,
@@ -136,13 +145,19 @@ def make_step_fn(bundle: SimBundle, backend: str = "segments",
     The returned function is jit-compiled; vmap/shard over the batch axis is
     implicit (everything is written batched).
     """
-    scan_fn = make_scan_fn(bundle, backend)
+    map_cell = {"map": (bundle.segmap
+                        if backend in ("segments", "segments_simplified")
+                        else bundle.track)}
+    inner_cell = {"map": None}
+    scan_fn = make_scan_fn(bundle, backend, inner_cell)
     car, sc, sim = bundle.car, bundle.scan, bundle.sim
     cosines, car_dists = ttc_tables(sc.num_beams, sc.fov, car)
     dynamics = sim.dynamics
 
     @jax.jit
-    def step(state: CarState, action, key=None) -> StepOutput:
+    def _step(map_obj, state: CarState, action, key=None) -> StepOutput:
+        # route the traced map object to scan_fn through the inner cell
+        inner_cell["map"] = map_obj
         v_des, steer_des = action
         # 1. input processing (reference drive() + compute_accel)
         accel, steer_vel = dyn.process_input(v_des, steer_des, state, car)
@@ -177,6 +192,11 @@ def make_step_fn(bundle: SimBundle, backend: str = "segments",
             collision=latched)
         return StepOutput(ranges=ranges, collision=latched, state=out_state)
 
+    def step(state, action, key=None):
+        return _step(map_cell["map"], state, action, key)
+
+    step.map_cell = map_cell        # facade swaps maps here (no retrace)
+    step.jitted = _step             # exposed for cache introspection/tests
     return step
 
 
@@ -206,9 +226,33 @@ class RacecarSimulator:
         self._last: Optional[StepOutput] = None
 
     # -- internal ---------------------------------------------------------
+    def _current_map(self):
+        return (self.bundle.segmap
+                if self.backend in ("segments", "segments_simplified")
+                else self.bundle.track)
+
     def _rebuild(self):
         self._step = make_step_fn(self.bundle, self.backend, self.with_noise)
-        self._scan = make_scan_fn(self.bundle, self.backend)
+        self._scan_cell = {"map": self._current_map()}
+        self._scan = make_scan_fn(self.bundle, self.backend,
+                                  self._scan_cell)
+
+    def _swap_or_rebuild(self):
+        """After a map mutation: if the rebuilt map has identical pytree
+        structure + leaf shapes, swap it into the compiled functions (no
+        retrace); otherwise rebuild the jitted closures."""
+        new = self._current_map()
+        old = self._step.map_cell["map"]
+
+        def sig(m):
+            leaves, treedef = jax.tree_util.tree_flatten(m)
+            return treedef, tuple(jnp.shape(l) for l in leaves)
+
+        if sig(new) == sig(old):
+            self._step.map_cell["map"] = new
+            self._scan_cell["map"] = new
+        else:
+            self._rebuild()
 
     def _split(self):
         self.key, sub = jax.random.split(self.key)
@@ -294,11 +338,23 @@ class RacecarSimulator:
         track = _add_obs(self.bundle.track, x, y, size)
         self.bundle = self.bundle._replace(track=track,
                                            segmap=self._build_segmap(track))
-        self._rebuild()
+        self._swap_or_rebuild()
 
     def clear_obstacles(self):
         """Restore the pristine map (reference clearObstacles)."""
         t = self._pristine_track
         self.bundle = self.bundle._replace(track=t,
                                            segmap=self._build_segmap(t))
-        self._rebuild()
+        self._swap_or_rebuild()
+
+    # camelCase aliases matching the reference lineage's method names
+    updatePose = update_pose
+    runScan = run_scan
+    getScan = run_scan
+    checkCollision = check_collision
+    getState = get_state
+    setState = set_state
+    setPose = set_pose
+    addObstacle = add_obstacle
+    clearObstacles = clear_obstacles
+    setInput = drive

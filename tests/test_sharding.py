@@ -120,3 +120,25 @@ def test_sharded_rollout_runs(bundle, rng):
     final, traj = rollout(step, s0, make_constant_policy(2.0, 0.0), 10, NB)
     assert np.isfinite(np.asarray(final.x)).all()
     assert traj["pose"].shape == (10, 8, 3)
+
+
+def test_65k_agents_smoke(bundle):
+    """BASELINE.json config 5 shape: 65k agents sharded over the mesh
+    (beams kept small to bound CPU-test memory; the layout/collective
+    structure is identical at 1080 beams)."""
+    from pyracecarsimulator_tpu.config import ScanParams
+    from pyracecarsimulator_tpu.simulator import build_sim
+    small_scan = ScanParams(num_beams=16)
+    b = build_sim(bundle.track, scan=small_scan)
+    mesh = make_mesh(agents_axis=4, beams_axis=2)
+    step = make_sharded_step(mesh, b, with_noise=False)
+    n = 65536
+    rng_l = np.random.RandomState(0)
+    poses = _poses(b, rng_l, n)
+    s0 = shard_state(mesh, state_from_pose(poses[:, 0], poses[:, 1],
+                                           poses[:, 2]))
+    action = (jnp.full((n,), 2.0), jnp.zeros((n,)))
+    out = step(s0, action, None)
+    assert out.ranges.shape == (n, 16)
+    assert np.isfinite(np.asarray(out.state.x)).all()
+    assert out.ranges.sharding is not None   # stays device-sharded

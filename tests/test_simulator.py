@@ -142,3 +142,35 @@ def test_backends_agree(sim_bundle):
             step(s, (jnp.zeros(1), jnp.zeros(1)), None).ranges)
     d = np.abs(outs["segments"] - outs["edf"])
     assert np.quantile(d, 0.95) < 2 * sim_bundle.track.resolution
+
+
+def test_obstacle_swap_avoids_recompile(sim_bundle):
+    """Obstacle add/clear with unchanged padded shapes must reuse the
+    compiled step (map rides as a traced argument)."""
+    sim = RacecarSimulator(sim_bundle.track, scan_params=SCAN64,
+                           with_noise=False)
+    x, y = _open_pose(sim_bundle)
+    sim.set_pose(x, y, 0.0)
+    sim.drive(0.0, 0.0)
+    sim.update_pose()
+    n0 = sim._step.jitted._cache_size()
+    step_obj = sim._step
+    sim.add_obstacle(x + 1.0, y, size=0.3)
+    sim.update_pose()
+    sim.clear_obstacles()
+    sim.update_pose()
+    assert sim._step is step_obj, "step was rebuilt despite same shapes"
+    assert sim._step.jitted._cache_size() == n0, "obstacle caused retrace"
+
+
+def test_camelcase_reference_aliases(sim_bundle):
+    sim = RacecarSimulator(sim_bundle.track, scan_params=SCAN64,
+                           with_noise=False)
+    x, y = _open_pose(sim_bundle)
+    sim.setPose(x, y, 0.0)
+    sim.setInput(2.0, 0.0)
+    out = sim.updatePose()
+    assert out.ranges.shape == (64,)
+    assert sim.getScan().shape == (64,)
+    assert not bool(np.asarray(sim.checkCollision()).any())
+    sim.setState(sim.getState())
