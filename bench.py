@@ -194,6 +194,25 @@ def main():
         extra["berlin_gsegments"] = int(gm.n_segments)
         _log(f"[bench] berlin_simplified_fwd rays/s = "
              f"{results['berlin_simplified_fwd']:.3e}")
+
+        @jax.jit
+        def gen_fb_loop(xb, yb, ct, st):
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                l, g = jax.value_and_grad(
+                    lambda a, b: jnp.sum(raycast_general_tiled(
+                        gm.tiles, gm.tiles_shape, gm.tile_size,
+                        gm.tile_origin, x0, y0, a, b, ct, st, 10.0)))(
+                            xb + d, yb + d)
+                return acc + l + jnp.sum(g[0][0]), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(8))
+            return acc
+
+        _timed(gen_fb_loop, xb, yb, ct, st)
+        dt = _timed(gen_fb_loop, xb, yb, ct, st) / 8
+        results["berlin_simplified_fwdbwd"] = A * B / dt
+        _log(f"[bench] berlin_simplified_fwdbwd rays/s = "
+             f"{results['berlin_simplified_fwdbwd']:.3e}")
     except Exception as e:
         _log(f"[bench] simplified stage failed: {e!r}")
 
