@@ -93,7 +93,10 @@ class ScanParams:
     max_range: Any = 10.0            # range clamp [m]
     # TPU-native additions (no reference equivalent): static trip count for
     # the fixed-iteration sphere-trace and the EDF sampling mode.
-    max_march_iters: Any = 48        # static march loop trip count
+    # Default covers exact parity on the builtin maps: worst case is
+    # max_range/resolution = 10/0.05 = 200 steps (wall-grazing rays);
+    # lower it for speed at documented accuracy cost (raymarch_xla doc).
+    max_march_iters: Any = 200       # static march loop trip count
     use_theta_table: Any = False     # True = reference theta-bucket trig
     interp: Any = "nearest"          # "nearest" (reference parity) | "bilinear"
     #                                  (smooth, for pose/map gradients)

@@ -266,11 +266,15 @@ def build_general_segment_map(occupancy: np.ndarray, resolution: float,
             k_tile = max(128, ((k_needed + 127) // 128) * 128)
         blocks = []
         for idx in sel:
+            if len(idx) > k_tile:
+                raise ValueError(
+                    f"k_tile too small: a tile needs {len(idx)} segments "
+                    f"but the block holds {k_tile}; raise k_tile or leave "
+                    "it 0 (auto-size)")
             blk = np.zeros((k_tile, 6), np.float64)
             blk[:, 2] = 1.0
             blk[:, 4] = -1.0      # never-valid sentinel
-            take = idx[:k_tile]
-            blk[: len(take)] = segs[take]
+            blk[: len(idx)] = segs[idx]
             blocks.append(blk.T)
         tiles = jnp.asarray(np.stack(blocks), jnp.float32)
         tiles_shape = (nr, nc)

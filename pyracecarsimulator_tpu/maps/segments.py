@@ -239,11 +239,16 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
                 k_needed = max(k_needed, len(idx))
         # split every tile into V|H sub-blocks with GLOBAL padded sizes
         def _pad_group(group, kp):
+            if len(group) > kp:
+                raise ValueError(
+                    f"k_tile too small: a tile needs {len(group)} segments "
+                    f"but the block holds {kp}; raise k_tile or leave it 0 "
+                    "(auto-size) - silent truncation would punch invisible "
+                    "holes in walls")
             block = np.zeros((kp, 4), np.float64)
             block[:, 1] = 1.0
             block[:, 2] = -1.0
-            take = group[:kp]
-            block[: len(take)] = take
+            block[: len(group)] = group
             return block
         kv_needed = kh_needed = 0
         groups = []

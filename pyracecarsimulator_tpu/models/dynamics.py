@@ -22,10 +22,12 @@ from ..state import CarState
 G = 9.81
 
 
-def compute_accel(v_des, v, p: CarParams):
+def compute_accel(v_des, v, p: CarParams, kp=None):
     """Speed P-control with asymmetric accel/decel clamps (reference facade
-    ``compute_accel``: kp = 2*max_accel/max_speed)."""
-    kp = 2.0 * p.max_accel / p.max_speed
+    ``compute_accel``: kp = 2*max_accel/max_speed; override via
+    SimParams.speed_kp)."""
+    if kp is None:
+        kp = 2.0 * p.max_accel / p.max_speed
     a = kp * (v_des - v)
     # Forward motion: brake limit max_decel, throttle limit max_accel;
     # mirrored in reverse; at standstill symmetric max_accel.
@@ -41,15 +43,17 @@ def compute_steer_vel(steer_des, steer, p: CarParams):
                      jnp.sign(dif) * p.max_steer_vel, 0.0)
 
 
-def process_input(v_des, steer_des, state: CarState, p: CarParams):
+def process_input(v_des, steer_des, state: CarState, p: CarParams,
+                  kp=None):
     """Desired (speed, steer) -> clamped (accel, steer_vel).
 
     Desired values are themselves clamped to actuator ranges first, as the
-    reference facade does on ``drive()``.
+    reference facade does on ``drive()``. ``kp`` overrides the speed
+    P-gain (SimParams.speed_kp).
     """
     v_des = jnp.clip(v_des, -p.max_speed, p.max_speed)
     steer_des = jnp.clip(steer_des, -p.max_steer_angle, p.max_steer_angle)
-    accel = compute_accel(v_des, state.velocity, p)
+    accel = compute_accel(v_des, state.velocity, p, kp)
     steer_vel = compute_steer_vel(steer_des, state.steer_angle, p)
     return accel, steer_vel
 

@@ -11,7 +11,10 @@ import jax.numpy as jnp
 
 
 def add_scan_noise(ranges, key, std_dev, max_range=None):
-    """Add N(0, std) per beam; optionally re-clamp to [0, max_range].
+    """Add N(0, std) per beam, UNCLAMPED by default — the reference adds
+    noise after the range clamp, so noisy returns may exceed max_range or
+    dip below zero (oracle/raycast.py matches). Pass ``max_range`` to
+    opt into re-clamping for consumers that need bounded ranges.
 
     ``std_dev == 0`` short-circuits to the input (noiseless parity mode).
     """

@@ -258,20 +258,9 @@ def scan_poses_general(gmap, poses, num_beams: int = 1080,
     Mirrors raycast_segments.scan_poses_segments (same semantics contract
     plus the tol_cells geometric tolerance of maps/contours.py).
     """
-    from .raymarch_xla import beam_angles
-    poses = jnp.asarray(poses)
-    batch = poses.shape[:-1]
-    poses2 = poses.reshape(-1, 3)
-    offs = beam_angles(num_beams, fov)
-    ang = poses2[:, 2:3] + offs
-    if theta_discretization:
-        two_pi = 2.0 * jnp.pi
-        idx = jnp.floor((ang % two_pi) / two_pi * theta_discretization)
-        idx = jnp.clip(idx.astype(jnp.int32), 0, theta_discretization - 1)
-        ang = idx * (two_pi / theta_discretization)
-    ct, st = jnp.cos(ang), jnp.sin(ang)
-    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
-    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
+    from .common import rays_from_poses, apply_extent_mask
+    batch, poses2, xb, yb, ct, st = rays_from_poses(
+        poses, num_beams, fov, theta_discretization)
     if use_tiles and gmap.tiles is not None:
         r = raycast_general_tiled(gmap.tiles, gmap.tiles_shape,
                                   gmap.tile_size, gmap.tile_origin,
@@ -279,8 +268,6 @@ def scan_poses_general(gmap, poses, num_beams: int = 1080,
                                   xb, yb, ct, st, max_range)
     else:
         r = raycast_general(gmap.params, xb, yb, ct, st, max_range)
-    ex0, ex1, ey0, ey1 = gmap.extent
-    inside = ((poses2[:, 0] >= ex0) & (poses2[:, 0] < ex1)
-              & (poses2[:, 1] >= ey0) & (poses2[:, 1] < ey1))
-    r = jnp.where(inside[:, None], r, max_range)
+    r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], gmap.extent,
+                          max_range)
     return r.reshape(*batch, num_beams)

@@ -243,22 +243,9 @@ def scan_poses_segments(segmap, poses, num_beams: int = 1080,
                         theta_discretization: int = 0,
                         use_tiles: bool = True) -> jnp.ndarray:
     """Full lidar scans for poses (..., 3) via the segment backend."""
-    poses = jnp.asarray(poses)
-    batch = poses.shape[:-1]
-    poses2 = poses.reshape(-1, 3)
-    x = poses2[:, 0:1]
-    y = poses2[:, 1:2]
-    th = poses2[:, 2:3]
-    offs = beam_angles(num_beams, fov)
-    ang = th + offs
-    if theta_discretization:
-        two_pi = 2.0 * jnp.pi
-        idx = jnp.floor((ang % two_pi) / two_pi * theta_discretization)
-        idx = jnp.clip(idx.astype(jnp.int32), 0, theta_discretization - 1)
-        ang = idx * (two_pi / theta_discretization)
-    ct, st = jnp.cos(ang), jnp.sin(ang)
-    xb = jnp.broadcast_to(x, ang.shape)
-    yb = jnp.broadcast_to(y, ang.shape)
+    from .common import rays_from_poses, apply_extent_mask
+    batch, poses2, xb, yb, ct, st = rays_from_poses(
+        poses, num_beams, fov, theta_discretization)
     # The *_diff variants carry an analytic O(rays) VJP (raycast_grad.py);
     # values are identical to raycast_all/raycast_tiled.
     from .raycast_grad import raycast_all_diff, raycast_tiled_diff
@@ -270,10 +257,6 @@ def scan_poses_segments(segmap, poses, num_beams: int = 1080,
     else:
         r = raycast_all_diff(segmap.params, xb, yb, ct, st, max_range,
                              1024, getattr(segmap, "kv", 0))
-    # Reference semantics: a scan from outside the real map is all max_range
-    # (the oracle's immediate out-of-map exit).
-    ex0, ex1, ey0, ey1 = segmap.extent
-    inside = ((poses2[:, 0] >= ex0) & (poses2[:, 0] < ex1)
-              & (poses2[:, 1] >= ey0) & (poses2[:, 1] < ey1))
-    r = jnp.where(inside[:, None], r, max_range)
+    r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], segmap.extent,
+                          max_range)
     return r.reshape(*batch, num_beams)

@@ -154,23 +154,11 @@ def scan_poses(edf: jnp.ndarray, resolution, origin_xy, poses,
     Returns:
       ranges: (..., num_beams) float32.
     """
-    poses = jnp.asarray(poses)
-    x = poses[..., 0:1]
-    y = poses[..., 1:2]
-    th = poses[..., 2:3]
-    offs = beam_angles(num_beams, fov)
-    ang = th + offs  # (..., num_beams)
-    if theta_discretization:
-        two_pi = 2.0 * jnp.pi
-        idx = jnp.floor((ang % two_pi) / two_pi * theta_discretization)
-        idx = jnp.clip(idx.astype(jnp.int32), 0, theta_discretization - 1)
-        table_ang = idx * (two_pi / theta_discretization)
-        ct, st = jnp.cos(table_ang), jnp.sin(table_ang)
-    else:
-        ct, st = jnp.cos(ang), jnp.sin(ang)
-    xb = jnp.broadcast_to(x, ang.shape)
-    yb = jnp.broadcast_to(y, ang.shape)
-    return march_rays(edf, resolution, origin_xy, xb, yb, ct, st,
-                      max_range=max_range, eps=eps,
-                      max_iters=max_iters, interp=interp,
-                      bounds_hw=bounds_hw)
+    from .common import rays_from_poses
+    batch, poses2, xb, yb, ct, st = rays_from_poses(
+        poses, num_beams, fov, theta_discretization)
+    r = march_rays(edf, resolution, origin_xy, xb, yb, ct, st,
+                   max_range=max_range, eps=eps,
+                   max_iters=max_iters, interp=interp,
+                   bounds_hw=bounds_hw)
+    return r.reshape(*batch, num_beams)

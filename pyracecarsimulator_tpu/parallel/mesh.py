@@ -119,28 +119,39 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
     offs_full = beam_angles(num_beams, float(sc.fov))
     cos_full, dist_full = ttc_tables(num_beams, float(sc.fov), car)
 
+    from ..ops.common import quantize_angles, apply_extent_mask
+    theta_disc = (int(sc.theta_discretization) if sc.use_theta_table else 0)
+    extent = bundle.segmap.extent
+
     def shard_body(offs, cosines, car_dists, state, v_des, steer_des, key):
         # Everything here sees the LOCAL agent slab + local beam wedge.
-        accel, steer_vel = dyn.process_input(v_des, steer_des, state, car)
-        if sim.dynamics == "ks":
-            new = dyn.ks_step(state, accel, steer_vel, car, sim.dt)
-        else:
+        accel, steer_vel = dyn.process_input(v_des, steer_des, state, car,
+                                             kp=sim.speed_kp)
+        if sim.dynamics == "st":
             new = dyn.st_step(state, accel, steer_vel, car, sim.dt)
+        elif sim.dynamics == "ks":
+            new = dyn.ks_step(state, accel, steer_vel, car, sim.dt)
+        elif sim.dynamics == "ackermann":
+            new = dyn.ackermann_step(state, v_des, steer_des, car, sim.dt)
+        else:
+            raise ValueError(f"unknown dynamics {sim.dynamics!r}")
         new = dyn.apply_standstill(state, new)
         sx = new.x + car.scan_distance_to_base_link * jnp.cos(new.theta)
         sy = new.y + car.scan_distance_to_base_link * jnp.sin(new.theta)
-        ang = new.theta[:, None] + offs[None, :]
+        ang = quantize_angles(new.theta[:, None] + offs[None, :],
+                              theta_disc)
         ct, st = jnp.cos(ang), jnp.sin(ang)
         xb = jnp.broadcast_to(sx[:, None], ang.shape)
         yb = jnp.broadcast_to(sy[:, None], ang.shape)
         ranges = raycast_all_diff(seg_params, xb, yb, ct, st,
                                   float(sc.max_range), 1024, seg_kv)
+        ranges = apply_extent_mask(ranges, sx, sy, extent,
+                                   float(sc.max_range))
         if with_noise and key is not None:
             kl = jax.random.fold_in(key, jax.lax.axis_index("beams")
                                     + nb_shards
                                     * jax.lax.axis_index("agents"))
-            ranges = add_scan_noise(ranges, kl, sc.scan_std_dev,
-                                    sc.max_range)
+            ranges = add_scan_noise(ranges, kl, sc.scan_std_dev)
         # local any-beam TTC, then OR across beam shards (psum of bools)
         hit_local = check_ttc(ranges, new.velocity, cosines, car_dists,
                               sim.ttc_threshold)

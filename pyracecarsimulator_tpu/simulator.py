@@ -119,7 +119,7 @@ def make_scan_fn(bundle: SimBundle, backend: str = "segments",
                 max_range=sc.max_range, theta_discretization=theta_disc)
         return scan_fn
 
-    interp = "bilinear" if backend == "edf_bilinear" else "nearest"
+    interp = "bilinear" if backend == "edf_bilinear" else sc.interp
     if map_cell is None:
         map_cell = {"map": bundle.track}
     track = bundle.track
@@ -160,7 +160,8 @@ def make_step_fn(bundle: SimBundle, backend: str = "segments",
         inner_cell["map"] = map_obj
         v_des, steer_des = action
         # 1. input processing (reference drive() + compute_accel)
-        accel, steer_vel = dyn.process_input(v_des, steer_des, state, car)
+        accel, steer_vel = dyn.process_input(v_des, steer_des, state, car,
+                                             kp=sim.speed_kp)
         # 2. dynamics update (reference update_pose())
         if dynamics == "st":
             new = dyn.st_step(state, accel, steer_vel, car, sim.dt)
@@ -177,8 +178,8 @@ def make_step_fn(bundle: SimBundle, backend: str = "segments",
         poses = jnp.stack([sx, sy, new.theta], axis=-1)
         ranges = scan_fn(poses)
         if with_noise and key is not None:
-            ranges = add_scan_noise(ranges, key, sc.scan_std_dev,
-                                    sc.max_range)
+            # unclamped, matching the reference/oracle noise model
+            ranges = add_scan_noise(ranges, key, sc.scan_std_dev)
         # 4. TTC collision -> latch (reference checkCollision + stop())
         hit = check_ttc(ranges, new.velocity, cosines, car_dists,
                         sim.ttc_threshold)
@@ -284,8 +285,7 @@ class RacecarSimulator:
         r = self._scan(poses)
         if self.with_noise:
             r = add_scan_noise(r, self._split(),
-                               self.bundle.scan.scan_std_dev,
-                               self.bundle.scan.max_range)
+                               self.bundle.scan.scan_std_dev)
         return r
 
     get_scan = run_scan
@@ -302,6 +302,7 @@ class RacecarSimulator:
         self.state = set_field(self.state, velocity=z, steer_angle=z,
                                angular_velocity=z, slip_angle=z)
         self._action = (z, z)
+        self._last = None
 
     def set_pose(self, x, y, theta=0.0):
         """Teleport + clear motion and the collision latch (reference
@@ -309,6 +310,7 @@ class RacecarSimulator:
         b = lambda v: jnp.broadcast_to(jnp.asarray(v, jnp.float32),
                                        self.batch_shape)
         self.state = state_from_pose(b(x), b(y), b(theta))
+        self._last = None            # stale scan/collision is gone
 
     reset = set_pose
 
@@ -317,6 +319,7 @@ class RacecarSimulator:
 
     def set_state(self, state: CarState):
         self.state = state
+        self._last = None
 
     def _build_segmap(self, track):
         if self.backend not in ("segments", "segments_simplified"):

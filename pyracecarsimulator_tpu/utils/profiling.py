@@ -29,13 +29,23 @@ def timed_loop(fn: Callable, *args, reps: int = 20,
                overhead_s: float = 0.035) -> float:
     """Seconds per call of ``fn(*args)`` (a jittable scalar-returning fn),
     measured as one compiled lax.scan of ``reps`` iterations + one host
-    fetch. Returns per-iteration seconds."""
+    fetch. Returns per-iteration seconds.
+
+    Every float-array argument is perturbed by ``i * 1e-30`` per iteration:
+    without a data dependence on the loop index, XLA CSE-hoists the body
+    and the "timing" measures one iteration (the BASELINE.md retraction).
+    The perturbation is value-invisible for normal float32 magnitudes.
+    """
 
     @jax.jit
     def loop(*a):
-        def rep(acc, _):
-            return acc + fn(*a), None
-        acc, _ = jax.lax.scan(rep, 0.0, None, length=reps)
+        def rep(acc, i):
+            d = i.astype(jnp.float32) * 1e-30
+            ai = [x + d if (hasattr(x, "dtype")
+                            and jnp.issubdtype(x.dtype, jnp.floating))
+                  else x for x in a]
+            return acc + fn(*ai), None
+        acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(reps))
         return acc
 
     float(loop(*args))                     # compile + warm
