@@ -279,6 +279,10 @@ def build_general_segment_map(occupancy: np.ndarray, resolution: float,
         tiles = jnp.asarray(np.stack(blocks), jnp.float32)
         tiles_shape = (nr, nc)
         tile_origin = (ox0, oy0)
+        if tiles.shape[2] >= params.shape[1]:
+            # no culling benefit: skip the per-agent tile gather
+            tiles = None
+            tiles_shape = (0, 0)
 
     return GeneralSegmentMap(params=params, n_segments=len(segs),
                              tol_cells=float(tol_cells), tiles=tiles,

@@ -40,6 +40,9 @@ LANES = 128
 
 def _kernel(seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref, is_ref,
             out_ref, u_ref, v_ref, *, max_range, kv, k_total):
+    # seg_ref layout: (K, 4) rows [p, lo, hi, isv] - the sweep's dynamic
+    # index runs along SUBLANES (Mosaic does not lower dynamic LANE-indexed
+    # scalar loads; observed remote-compile failure on seg_ref[0, k]).
     x = x_ref[:, :]
     y = y_ref[:, :]
     ct = ct_ref[:, :]
@@ -55,9 +58,9 @@ def _kernel(seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref, is_ref,
 
         def body(k, carry):
             best_t, best_u, best_v = carry
-            p = seg_ref[0, k]
-            slo = seg_ref[1, k]
-            shi = seg_ref[2, k]
+            p = seg_ref[k, 0]
+            slo = seg_ref[k, 1]
+            shi = seg_ref[k, 2]
             t = (p - o_perp) * u_inv
             a = o_along + t * u_along
             valid = (t >= 0.0) & ((a - slo) * (shi - a) >= 0.0)
@@ -81,10 +84,10 @@ def _kernel(seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref, is_ref,
         # mixed layout: orientation per segment via two guarded updates
         def body(k, carry):
             best_t, best_u, best_v = carry
-            p = seg_ref[0, k]
-            slo = seg_ref[1, k]
-            shi = seg_ref[2, k]
-            isv = seg_ref[3, k] > 0.5
+            p = seg_ref[k, 0]
+            slo = seg_ref[k, 1]
+            shi = seg_ref[k, 2]
+            isv = seg_ref[k, 3] > 0.5
             o_perp = jnp.where(isv, x, y)
             o_along = jnp.where(isv, y, x)
             u_inv = jnp.where(isv, inv_c, inv_s)
@@ -118,10 +121,11 @@ def _raycast_pallas_raw(segment_params, x, y, cos_t, sin_t, inv_c, inv_s,
     if nr % ROWS:
         raise ValueError(f"ray rows {nr} not a multiple of {ROWS}")
     k = segment_params.shape[1]
+    segment_rows = segment_params.T          # (K, 4): see _kernel note
     grid = (nr // ROWS,)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    seg_spec = pl.BlockSpec((4, k), lambda i: (0, 0),
+    seg_spec = pl.BlockSpec((k, 4), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     out_specs = [ray_spec] * 3
     out_shape = [jax.ShapeDtypeStruct((nr, LANES), jnp.float32)] * 3
@@ -134,7 +138,7 @@ def _raycast_pallas_raw(segment_params, x, y, cos_t, sin_t, inv_c, inv_s,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(segment_params, x, y, cos_t, sin_t, inv_c, inv_s)
+    )(segment_rows, x, y, cos_t, sin_t, inv_c, inv_s)
     return r, u, v
 
 

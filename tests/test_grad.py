@@ -78,22 +78,28 @@ def test_grad_matches_finite_differences(small_track, rng):
 
 
 def test_tiled_diff_matches_full(small_track, rng):
-    occ = np.asarray(small_track.occupancy)
-    sm = build_segment_map(occ, small_track.resolution,
-                           (small_track.origin_x, small_track.origin_y),
-                           max_range=10.0, tile_size=2.0,
-                           real_hw=(small_track.height, small_track.width))
+    # dense pillar field + short range so tile culling actually reduces
+    # the per-tile lists (build_segment_map drops no-benefit tiles)
+    occ = np.zeros((256, 256), np.float32)
+    prng = np.random.RandomState(5)
+    for _ in range(120):
+        i, j = prng.randint(8, 248, 2)
+        occ[i:i + 2, j:j + 2] = 1.0
+    sm = build_segment_map(occ, small_track.resolution, (-6.4, -6.4),
+                           max_range=2.0, tile_size=2.0)
+    assert sm.tiles is not None, "expected effective culling in this setup"
     x, y, ct, st = _rand_rays(small_track, rng, n=16)
     xb, yb = x[:, None], y[:, None]
     ctb, stb = ct[:, None], st[:, None]
 
     def loss_t(xb):
+        # max_range must not exceed the cull reach the tiles were built for
         return jnp.sum(raycast_tiled_diff(
             sm.tiles, sm.tiles_shape, sm.tile_size, sm.tile_origin,
-            x, y, xb, yb, ctb, stb, 10.0))
+            x, y, xb, yb, ctb, stb, 2.0))
 
     def loss_f(xb):
-        return jnp.sum(raycast_all_diff(sm.params, xb, yb, ctb, stb, 10.0))
+        return jnp.sum(raycast_all_diff(sm.params, xb, yb, ctb, stb, 2.0))
 
     np.testing.assert_allclose(float(loss_t(xb)), float(loss_f(xb)),
                                rtol=1e-6)
