@@ -8,10 +8,11 @@ Design (see /opt/skills/guides/pallas_guide.md):
   * Rays are laid out RAY-MAJOR: each program owns a (ROWS, 128) block of
     rays — full lane utilization (a first draft used (N, 1) ray columns,
     wasting 127/128 lanes and drowning in grid overhead).
-  * The whole segment table (4, K) sits in VMEM; a ``fori_loop`` sweeps it
-    one segment at a time: 4 scalar loads broadcast against the whole ray
-    block, ~8 VPU ops per (ray, segment) pair, running (best, winner)
-    state held on-chip for the entire sweep.
+  * The whole segment table sits in VMEM as (K, 4) rows (dynamic scalar
+    loads must index along SUBLANES; Mosaic has no dynamic lane indexing);
+    a ``fori_loop`` sweeps it one segment at a time: 4 scalar loads
+    broadcast against the whole ray block, ~8 VPU ops per (ray, segment)
+    pair, running (best, winner) state held on-chip for the entire sweep.
   * Orientation-specialized: with the split layout
     (maps/segments.py::split_pad_segments) the vertical and horizontal
     sweeps carry no per-pair orientation selects.
