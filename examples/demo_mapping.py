@@ -62,7 +62,10 @@ def main():
     hit_mask = observed < 79.0
     hx = poses[:, 0:1] + observed * ux
     hy = poses[:, 1:2] + observed * uy
-    FREE_FRACS = jnp.asarray([0.25, 0.5, 0.75, 0.92])
+    # free samples stop at 0.8*r: samples closer to the hit would demand
+    # clearance where the surface itself must sit (margin conflict drove
+    # reconstruction to empty maps)
+    FREE_FRACS = jnp.asarray([0.2, 0.4, 0.6, 0.8])
     fx = poses[:, 0:1, None] + observed[..., None] * FREE_FRACS * ux[..., None]
     fy = poses[:, 1:2, None] + observed[..., None] * FREE_FRACS * uy[..., None]
 
@@ -76,7 +79,7 @@ def main():
         d_hit = sample_edf_bilinear(edf, hx, hy)
         d_free = sample_edf_bilinear(edf, fx, fy)
         hit_term = jnp.mean(jnp.where(hit_mask, d_hit, 0.0) ** 2)
-        free_term = jnp.mean(jax.nn.relu(2.0 - d_free) ** 2)
+        free_term = jnp.mean(jax.nn.relu(0.8 - d_free) ** 2)
         return hit_term + free_term
 
     opt = optax.adam(0.3)
@@ -84,11 +87,11 @@ def main():
     logits = logits0
     grad_fn = jax.jit(jax.value_and_grad(loss))
     t0 = time.time()
-    for i in range(150):
+    for i in range(400):
         l, g = grad_fn(logits)
         upd, state = opt.update(g, state)
         logits = optax.apply_updates(logits, upd)
-        if i % 30 == 0:
+        if i % 80 == 0:
             print(f"iter {i:3d}  tsdf loss {float(l):8.3f}")
     occ_rec = np.asarray(jax.nn.sigmoid(logits))
     # score on the OBSERVABLE surface: lidar can only see obstacle
