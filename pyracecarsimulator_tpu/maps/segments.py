@@ -6,7 +6,11 @@ hardware — measured ~1.4e8 gathers/s on v5e, capping a gather-based march at
 a few Mrays/s/chip). The fix is to *compile the map into geometry once at
 load time*: the boundary of the occupied-cell union is an axis-aligned
 polygon set; raycasting against its segments is dense VPU/MXU-friendly math
-with zero gathers in the hot loop.
+with zero gathers in the hot loop. (Same family as CDDT's observation that
+occupancy-grid raycasts should be precomputed into compressed geometric
+structure, arXiv:1705.01167 / PAPERS.md — here the "compression" is exact
+boundary geometry and the query is a dense min-reduction instead of a LUT
+walk, because TPUs trade random access for vector math.)
 
 Semantics contract (tested in tests/test_segments.py):
   * The segment raycast computes the EXACT first intersection of the ray
