@@ -112,6 +112,10 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
         raise ValueError("sharded step needs the segment backend")
     seg_params = bundle.segmap.params
     seg_kv = getattr(bundle.segmap, "kv", 0)
+    from ..maps.contours import GeneralSegmentMap
+    is_general = isinstance(bundle.segmap, GeneralSegmentMap)
+    if is_general:
+        from ..ops.raycast_general import raycast_general as _rc_general
     num_beams = int(sc.num_beams)
     nb_shards = mesh.shape["beams"]
     if num_beams % nb_shards:
@@ -143,8 +147,12 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
         ct, st = jnp.cos(ang), jnp.sin(ang)
         xb = jnp.broadcast_to(sx[:, None], ang.shape)
         yb = jnp.broadcast_to(sy[:, None], ang.shape)
-        ranges = raycast_all_diff(seg_params, xb, yb, ct, st,
-                                  float(sc.max_range), 1024, seg_kv)
+        if is_general:
+            ranges = _rc_general(seg_params, xb, yb, ct, st,
+                                 float(sc.max_range))
+        else:
+            ranges = raycast_all_diff(seg_params, xb, yb, ct, st,
+                                      float(sc.max_range), 1024, seg_kv)
         ranges = apply_extent_mask(ranges, sx, sy, extent,
                                    float(sc.max_range))
         if with_noise and key is not None:

@@ -142,3 +142,22 @@ def test_65k_agents_smoke(bundle):
     assert out.ranges.shape == (n, 16)
     assert np.isfinite(np.asarray(out.state.x)).all()
     assert out.ranges.sharding is not None   # stays device-sharded
+
+
+def test_sharded_step_simplified_backend(bundle, rng):
+    """Sharded step over the contour-simplified geometry matches the
+    unsharded simplified step."""
+    b = build_sim(bundle.track, scan=SCAN, backend="segments_simplified")
+    mesh = make_mesh(agents_axis=4, beams_axis=2)
+    step_sh = make_sharded_step(mesh, b, with_noise=False)
+    step_ref = make_step_fn(b, backend="segments_simplified",
+                            with_noise=False)
+    poses = _poses(b, rng, 8)
+    s0 = shard_state(mesh, state_from_pose(poses[:, 0], poses[:, 1],
+                                           poses[:, 2]))
+    action = (jnp.full((8,), 2.0), jnp.zeros(8))
+    out_sh = step_sh(s0, action, None)
+    out_ref = step_ref(state_from_pose(poses[:, 0], poses[:, 1],
+                                       poses[:, 2]), action, None)
+    np.testing.assert_allclose(np.asarray(out_sh.ranges),
+                               np.asarray(out_ref.ranges), atol=1e-5)
