@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--map", default="levine")
     ap.add_argument("--beams", type=int, default=1080)
+    ap.add_argument("--render", default="",
+                    help="write a PNG of trajectories + final scans")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -53,13 +55,23 @@ def main():
                                       speed=3.0)
     print(f"compiling + running {args.agents} agents x {args.steps} steps...")
     t0 = time.time()
-    final, traj = rollout(step, s0, policy, args.steps, args.beams)
+    final, traj = rollout(step, s0, policy, args.steps, args.beams,
+                          keep_scans=bool(args.render))
     crashed = float(np.asarray(final.collision).mean())
     wall = time.time() - t0
     steps_s = args.agents * args.steps / wall
     print(f"done in {wall:.1f}s  ({steps_s:.3e} agent-steps/s incl compile)")
     print(f"crashed: {crashed * 100:.1f}%   "
           f"mean speed: {float(np.asarray(final.velocity).mean()):.2f} m/s")
+    if args.render:
+        from pyracecarsimulator_tpu.utils.viz import render
+        n_draw = min(args.agents, 16)
+        render(bundle.track,
+               poses=np.asarray(final.pose)[:n_draw],
+               scans=np.asarray(traj["ranges"])[-1, :n_draw],
+               trajectories=np.asarray(traj["pose"])[:, :n_draw],
+               path=args.render, fov=float(bundle.scan.fov))
+        print(f"rendered {args.render}")
 
 
 if __name__ == "__main__":
