@@ -130,3 +130,34 @@ def scan(edf: np.ndarray, resolution: float, origin_xy,
         rng = rng or np.random.RandomState(0)
         ranges = ranges + rng.normal(0.0, std_dev, size=num_beams)
     return ranges.astype(np.float32)
+
+
+def scan_batch(edf: np.ndarray, resolution: float, origin_xy, poses,
+               num_beams: int = 1080, fov: float = 4.712388980384690,
+               max_range: float = 10.0, eps: float = 0.0001,
+               max_iters: int = 2000, bounds_hw=None) -> np.ndarray:
+    """Batched noiseless oracle scans, accelerated by the native library
+    when built (csrc/racecar_native.cpp, ~100x the Python loop); falls
+    back to per-ray ``trace_ray``. poses: (N, 3). Returns (N, num_beams).
+    """
+    poses = np.atleast_2d(np.asarray(poses, np.float64))
+    offs = beam_angles(num_beams, fov)
+    ang = poses[:, 2:3] + offs[None, :]
+    xs = np.broadcast_to(poses[:, 0:1], ang.shape).ravel()
+    ys = np.broadcast_to(poses[:, 1:2], ang.shape).ravel()
+    cts, sts = np.cos(ang).ravel(), np.sin(ang).ravel()
+    bounds = bounds_hw if bounds_hw is not None else edf.shape
+    try:
+        from pyracecarsimulator_tpu._native import loader as _native
+        out = _native.trace_rays(edf, bounds, resolution, origin_xy,
+                                 xs, ys, cts, sts, max_range, eps,
+                                 max_iters)
+        if out is not None:
+            return out.reshape(len(poses), num_beams).astype(np.float32)
+    except Exception:
+        pass
+    flat = np.array([trace_ray(edf, resolution, origin_xy, xs[i], ys[i],
+                               cts[i], sts[i], max_range, eps, max_iters,
+                               bounds_hw=bounds)
+                     for i in range(len(xs))])
+    return flat.reshape(len(poses), num_beams).astype(np.float32)

@@ -58,3 +58,18 @@ def test_raycast_segments_matches_numpy(small_track, rng):
     got = nat.raycast_segments(segs, xs, ys, np.cos(th), np.sin(th))
     ref = raycast_segments_numpy(segs, xs, ys, np.cos(th), np.sin(th), 10.0)
     np.testing.assert_allclose(got, ref, atol=1e-9)
+
+
+def test_scan_batch_matches_scalar(small_track, rng):
+    from pyracecarsimulator_tpu.oracle.raycast import scan_batch, scan
+    edf = np.asarray(small_track.edf)
+    org = (small_track.origin_x, small_track.origin_y)
+    bounds = (small_track.height, small_track.width)
+    poses = np.stack([rng.uniform(-3, 3, 4), rng.uniform(-3, 3, 4),
+                      rng.uniform(-np.pi, np.pi, 4)], -1)
+    batch = scan_batch(edf, small_track.resolution, org, poses,
+                       num_beams=32, bounds_hw=bounds)
+    for i, p in enumerate(poses):
+        ref = scan(edf, small_track.resolution, org, p, num_beams=32,
+                   bounds_hw=bounds)
+        np.testing.assert_allclose(batch[i], ref, atol=1e-5)
