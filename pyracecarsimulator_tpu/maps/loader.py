@@ -220,3 +220,22 @@ def add_obstacle(track: TrackMap, x: float, y: float,
 def clear_obstacles(track: TrackMap, original: TrackMap) -> TrackMap:
     """Reference ``clearObstacles``: restore the pristine map."""
     return original
+
+
+def sample_free_poses(track: TrackMap, n: int, rng=None,
+                      margin: float = 0.3, theta_range=(-np.pi, np.pi)):
+    """Sample n collision-free poses (x, y, theta) in open space.
+
+    ``margin``: minimum EDF clearance in meters. Returns (n, 3) float32.
+    """
+    if rng is None or isinstance(rng, int):
+        rng = np.random.RandomState(rng or 0)
+    edf = np.asarray(track.edf)[: track.height, : track.width]
+    ys, xs = np.where(edf > margin)
+    if len(ys) == 0:
+        raise ValueError(f"no free cells with clearance > {margin}")
+    k = rng.randint(len(ys), size=n)
+    x = track.origin_x + (xs[k] + 0.5) * track.resolution
+    y = track.origin_y + (ys[k] + 0.5) * track.resolution
+    th = rng.uniform(theta_range[0], theta_range[1], n)
+    return np.stack([x, y, th], axis=-1).astype(np.float32)
