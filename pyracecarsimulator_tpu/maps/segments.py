@@ -106,13 +106,18 @@ _FAR = 1.0e9
 def pad_segments(segs: np.ndarray, align: int = _LANE) -> np.ndarray:
     """Pad segment count to a lane multiple with never-hit sentinels.
 
-    Sentinel = empty run interval (lo > hi): the along-coordinate test
-    ``lo <= a <= hi`` can never pass, independent of float rounding.
+    Sentinel = empty run interval (lo > hi) at ``p = _FAR``. The empty
+    interval alone is NOT sufficient: the hot paths test it in product form
+    ``(a - lo)*(hi - a) >= 0``, which a reversed interval passes for
+    a in [hi, lo] — with p = 0 that made a phantom wall at the origin
+    (latent until a map left the origin region reachable). Placing the
+    plane at _FAR makes any "hit" land at t >~ 1e9 (clamped by max_range)
+    or t < 0 (rejected), independent of the interval test's form.
     """
     k = len(segs)
     kp = max(align, ((k + align - 1) // align) * align)
     out = np.zeros((kp, 4), np.float64)
-    out[:, 0] = 0.0
+    out[:, 0] = _FAR
     out[:, 1] = 1.0    # lo
     out[:, 2] = -1.0   # hi  -> empty interval
     out[:, 3] = 1.0
@@ -149,6 +154,10 @@ class SegmentMap:
     params: Any
     n_segments: int
     tiles: Any = None
+    # int32 [v_hi, h_lo, h_end] real-segment sweep bounds for the Pallas
+    # kernel (ops/raycast_pallas.py) - a LEAF so obstacle rebuilds with
+    # different V/H counts don't retrace.
+    sweep_meta: Any = None
     tile_size: float = 0.0           # meters (static)
     tiles_shape: Tuple[int, int] = (0, 0)  # (rows, cols) of the tile grid
     tile_origin: Tuple[float, float] = (0.0, 0.0)
@@ -163,18 +172,21 @@ class SegmentMap:
     kv_tile: int = 0
 
     def tree_flatten(self):
-        # n_segments rides as a LEAF: it changes on obstacle rebuilds while
-        # padded shapes usually don't - keeping it out of the aux data
-        # keeps the jit cache key stable (no recompiles per obstacle).
-        return (self.params, self.tiles, self.n_segments), (
+        # n_segments and sweep_meta ride as LEAVES: they change on obstacle
+        # rebuilds while padded shapes usually don't - keeping them out of
+        # the aux data keeps the jit cache key stable (no recompiles per
+        # obstacle).
+        return (self.params, self.tiles, self.n_segments,
+                self.sweep_meta), (
             self.tile_size, self.tiles_shape,
             self.tile_origin, self.extent, self.kv, self.kv_tile)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        params, tiles, n = leaves
+        params, tiles, n, meta = leaves
         ts, tshape, torg, ext, kv, kvt = aux
-        return cls(params=params, tiles=tiles, n_segments=n, tile_size=ts,
+        return cls(params=params, tiles=tiles, n_segments=n,
+                   sweep_meta=meta, tile_size=ts,
                    tiles_shape=tshape, tile_origin=torg, extent=ext,
                    kv=kv, kv_tile=kvt)
 
@@ -205,6 +217,7 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
     """
     segs = extract_segments(occupancy, resolution, origin_xy,
                             occupied_thresh)
+    n_vertical = int((segs[:, 3] > 0.5).sum()) if len(segs) else 0
     # split layout drops per-pair orientation selects (~25% fewer ops) but
     # pads V and H groups separately; only worth it when that padding
     # doesn't blow up the table (small maps: mixed layout wins)
@@ -213,9 +226,14 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
     if kv_ + kh_ <= 1.25 * mixed_k:
         out_params = jnp.asarray(padded_T, jnp.float32)  # (4, KV+KH)
         kv = kv_
+        sweep_meta = jnp.asarray(
+            [n_vertical, kv_, kv_ + (len(segs) - n_vertical)], jnp.int32)
     else:
         out_params = jnp.asarray(pad_segments(segs).T, jnp.float32)
         kv = 0
+        # mixed layout keeps extract order: V block, H block, sentinels
+        sweep_meta = jnp.asarray(
+            [n_vertical, n_vertical, len(segs)], jnp.int32)
     rh, rw = real_hw if real_hw is not None else occupancy.shape
     ox0, oy0 = float(origin_xy[0]), float(origin_xy[1])
     extent = (ox0, ox0 + rw * resolution, oy0, oy0 + rh * resolution)
@@ -250,6 +268,7 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
                     "(auto-size) - silent truncation would punch invisible "
                     "holes in walls")
             block = np.zeros((kp, 4), np.float64)
+            block[:, 0] = _FAR   # see pad_segments: product-form safety
             block[:, 1] = 1.0
             block[:, 2] = -1.0
             block[: len(group)] = group
@@ -294,6 +313,7 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
         kv_tile = 0
 
     return SegmentMap(params=out_params, n_segments=len(segs), tiles=tiles,
+                      sweep_meta=sweep_meta,
                       tile_size=float(tile_size), tiles_shape=tiles_shape,
                       tile_origin=tile_origin, extent=extent,
                       kv=kv, kv_tile=kv_tile)

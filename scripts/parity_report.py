@@ -75,7 +75,7 @@ def main():
             "segments exact (XLA)": np.asarray(scan_poses_segments(
                 sm, jp, num_beams=B)),
             "segments exact (Pallas)": np.asarray(raycast_pallas(
-                sm.params, xb, yb, ct, st, 10.0, sm.kv,
+                sm.params, sm.sweep_meta, xb, yb, ct, st, 10.0,
                 jax.default_backend() == "cpu")),
             "simplified tol=1 (XLA)": np.asarray(scan_poses_general(
                 gm, jp, num_beams=B)),

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from pyracecarsimulator_tpu.maps.segments import (
     extract_segments, pad_segments)
+from pyracecarsimulator_tpu.ops.raycast_pallas import (
+    sweep_meta_mixed, sweep_meta_split)
 from pyracecarsimulator_tpu.ops.raycast_segments import raycast_all
 from pyracecarsimulator_tpu.ops.raycast_pallas import (
     raycast_pallas, ROWS, LANES)
@@ -15,45 +17,46 @@ RAY_BLOCK = ROWS * LANES
 
 def _setup(small_track, rng, n):
     occ = np.asarray(small_track.occupancy)
-    segs = pad_segments(extract_segments(
-        occ, small_track.resolution,
-        (small_track.origin_x, small_track.origin_y)))
+    raw = extract_segments(occ, small_track.resolution,
+                           (small_track.origin_x, small_track.origin_y))
+    segs = pad_segments(raw)
     params = jnp.asarray(segs.T, jnp.float32)
+    meta = sweep_meta_mixed(int((raw[:, 3] > 0.5).sum()), len(raw))
     x = jnp.asarray(rng.uniform(-4, 4, n).astype(np.float32))
     y = jnp.asarray(rng.uniform(-4, 4, n).astype(np.float32))
     th = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
-    return params, x, y, jnp.asarray(np.cos(th)), jnp.asarray(np.sin(th))
+    return params, meta, x, y, jnp.asarray(np.cos(th)), jnp.asarray(np.sin(th))
 
 
 def test_matches_xla_exact(small_track, rng):
-    params, x, y, ct, st = _setup(small_track, rng, RAY_BLOCK)
+    params, meta, x, y, ct, st = _setup(small_track, rng, RAY_BLOCK)
     ref = raycast_all(params, x, y, ct, st, 10.0)
-    got = raycast_pallas(params, x, y, ct, st, 10.0, 0, True)
+    got = raycast_pallas(params, meta, x, y, ct, st, 10.0, True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
 def test_non_block_multiple_and_2d_shape(small_track, rng):
-    params, x, y, ct, st = _setup(small_track, rng, 700)
+    params, meta, x, y, ct, st = _setup(small_track, rng, 700)
     ref = raycast_all(params, x, y, ct, st, 10.0)
-    got = raycast_pallas(params, x, y, ct, st, 10.0, 0, True)
+    got = raycast_pallas(params, meta, x, y, ct, st, 10.0, True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
     # 2D ray batch
     x2 = x[:690].reshape(30, 23)
     y2, ct2, st2 = (a[:690].reshape(30, 23) for a in (y, ct, st))
-    got2 = raycast_pallas(params, x2, y2, ct2, st2, 10.0, 0, True)
+    got2 = raycast_pallas(params, meta, x2, y2, ct2, st2, 10.0, True)
     assert got2.shape == (30, 23)
     np.testing.assert_array_equal(np.asarray(got2).ravel(),
                                   np.asarray(ref)[:690])
 
 
 def test_vjp_matches_autodiff(small_track, rng):
-    params, x, y, ct, st = _setup(small_track, rng, 256)
+    params, meta, x, y, ct, st = _setup(small_track, rng, 256)
 
     def l_ref(x, y, ct, st):
         return jnp.sum(raycast_all(params, x, y, ct, st, 10.0) ** 2)
 
     def l_pal(x, y, ct, st):
-        return jnp.sum(raycast_pallas(params, x, y, ct, st, 10.0, 0, True) ** 2)
+        return jnp.sum(raycast_pallas(params, meta, x, y, ct, st, 10.0, True) ** 2)
 
     g1 = jax.grad(l_ref, argnums=(0, 1, 2, 3))(x, y, ct, st)
     g2 = jax.grad(l_pal, argnums=(0, 1, 2, 3))(x, y, ct, st)
@@ -75,5 +78,6 @@ def test_split_layout_matches(small_track, rng):
     th = rng.uniform(-np.pi, np.pi, 512).astype(np.float32)
     ct, st = jnp.asarray(np.cos(th)), jnp.asarray(np.sin(th))
     ref = raycast_all(params, x, y, ct, st, 10.0, 1024, kv)
-    got = raycast_pallas(params, x, y, ct, st, 10.0, kv, True)
+    meta = sweep_meta_split(kv, int((segs[:, 3] > 0.5).sum()), len(segs))
+    got = raycast_pallas(params, meta, x, y, ct, st, 10.0, True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -140,3 +140,32 @@ def test_pose_gradients_analytic():
     np.testing.assert_allclose(g[0], -1.0 / c, rtol=1e-5)
     np.testing.assert_allclose(g[1], 0.0, atol=1e-6)
     np.testing.assert_allclose(g[2], 10.0 * s / c ** 2, rtol=1e-5)
+
+
+def test_padding_sentinels_cast_no_phantom_walls():
+    """Regression: pad sentinels used to sit at p=0 with a reversed
+    interval [1, -1]; the hot paths' product-form interval test
+    (a-lo)*(hi-a) >= 0 ACCEPTS a in [-1, 1] for a reversed interval, so
+    rays crossing x=0 with |y| <= 1 hit a phantom wall at the origin
+    whenever a map leaves that region reachable (bundled tracks bury the
+    origin inside the occupied infield, which hid this)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pyracecarsimulator_tpu.maps.segments import (
+        extract_segments, pad_segments, raycast_segments_numpy)
+    from pyracecarsimulator_tpu.ops.raycast_segments import raycast_all
+
+    # 40x40 map centered on the origin: fully free except the outer border
+    occ = np.zeros((40, 40))
+    occ[0, :] = occ[-1, :] = occ[:, 0] = occ[:, -1] = 1.0
+    res = 0.25
+    segs = extract_segments(occ, res, (-5.0, -5.0))
+    params = jnp.asarray(pad_segments(segs).T, jnp.float32)
+    # ray from (-3, 0) pointing +x: crosses (0, 0); the only real wall is
+    # the border at x = +4.75 (inner face of the right border column)
+    r = raycast_all(params, jnp.asarray([-3.0]), jnp.asarray([0.0]),
+                    jnp.asarray([1.0]), jnp.asarray([0.0]), 10.0)
+    expect = raycast_segments_numpy(
+        pad_segments(segs), [-3.0], [0.0], [1.0], [0.0], 10.0)
+    np.testing.assert_allclose(np.asarray(r), expect, rtol=1e-6)
+    assert float(r[0]) > 7.0, f"phantom wall: range {float(r[0])}"
