@@ -158,6 +158,9 @@ class SegmentMap:
     # kernel (ops/raycast_pallas.py) - a LEAF so obstacle rebuilds with
     # different V/H counts don't retrace.
     sweep_meta: Any = None
+    # int32 (T, 3) per-tile sweep bounds (same convention, relative to the
+    # tile's own block) for the tiled Pallas kernel - also a leaf.
+    tile_sweep_meta: Any = None
     tile_size: float = 0.0           # meters (static)
     tiles_shape: Tuple[int, int] = (0, 0)  # (rows, cols) of the tile grid
     tile_origin: Tuple[float, float] = (0.0, 0.0)
@@ -177,16 +180,16 @@ class SegmentMap:
         # the aux data keeps the jit cache key stable (no recompiles per
         # obstacle).
         return (self.params, self.tiles, self.n_segments,
-                self.sweep_meta), (
+                self.sweep_meta, self.tile_sweep_meta), (
             self.tile_size, self.tiles_shape,
             self.tile_origin, self.extent, self.kv, self.kv_tile)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        params, tiles, n, meta = leaves
+        params, tiles, n, meta, tmeta = leaves
         ts, tshape, torg, ext, kv, kvt = aux
         return cls(params=params, tiles=tiles, n_segments=n,
-                   sweep_meta=meta, tile_size=ts,
+                   sweep_meta=meta, tile_sweep_meta=tmeta, tile_size=ts,
                    tiles_shape=tshape, tile_origin=torg, extent=ext,
                    kv=kv, kv_tile=kvt)
 
@@ -287,6 +290,7 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
         mixed_kt = a(max(len(v) + len(h) for v, h in groups))
         if k_tile > 0:
             kv_t = kh_t = a(k_tile // 2)
+        tmeta = []
         if kv_t + kh_t <= 1.25 * mixed_kt:
             for v, h in groups:
                 bv = _pad_group(v, kv_t)
@@ -294,26 +298,31 @@ def build_segment_map(occupancy: np.ndarray, resolution: float,
                 bh = _pad_group(h, kh_t)
                 bh[:, 3] = 0.0
                 lists.append(np.concatenate([bv, bh], axis=0).T)
+                tmeta.append([len(v), kv_t, kv_t + len(h)])
             kv_tile = kv_t
         else:
             for v, h in groups:
                 blk = _pad_group(np.concatenate([v, h], axis=0), mixed_kt)
                 lists.append(blk.T)
+                tmeta.append([len(v), len(v), len(v) + len(h)])
             kv_tile = 0
         tiles = jnp.asarray(np.stack(lists), jnp.float32)
+        tile_sweep_meta = jnp.asarray(tmeta, jnp.int32)
         tiles_shape = (nr, nc)
         tile_origin = (ox, oy)
         if tiles.shape[2] >= out_params.shape[1]:
             # culling buys nothing (every tile sees ~the whole set) and the
             # per-agent tile gather costs ~40%: use the full-set path
             tiles = None
+            tile_sweep_meta = None
             tiles_shape = (0, 0)
             kv_tile = 0
     else:
         kv_tile = 0
+        tile_sweep_meta = None
 
     return SegmentMap(params=out_params, n_segments=len(segs), tiles=tiles,
-                      sweep_meta=sweep_meta,
+                      sweep_meta=sweep_meta, tile_sweep_meta=tile_sweep_meta,
                       tile_size=float(tile_size), tiles_shape=tiles_shape,
                       tile_origin=tile_origin, extent=extent,
                       kv=kv, kv_tile=kv_tile)

@@ -45,6 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = np.float32(3.0e38)
 ROWS = 32             # ray rows per program -> 32*128 = 4096 rays/program
 LANES = 128
+UNROLL = 4            # segments per sweep iteration (amortizes the scalar
+                      # loads + loop bookkeeping over 4x the VPU work)
 
 
 def _kernel(meta_ref, seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref,
@@ -59,6 +61,7 @@ def _kernel(meta_ref, seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref,
     st = st_ref[:, :]
     inv_c = ic_ref[:, :]
     inv_s = is_ref[:, :]
+    k_max = seg_ref.shape[0] - 1
 
     def sweep(lo, hi, vertical, best):
         o_perp = x if vertical else y
@@ -66,16 +69,27 @@ def _kernel(meta_ref, seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref,
         u_inv = inv_c if vertical else inv_s
         u_along = st if vertical else ct
 
-        def body(k, best):
-            p = seg_ref[k, 0]
-            slo = seg_ref[k, 1]
-            shi = seg_ref[k, 2]
-            t = (p - o_perp) * u_inv
-            a = o_along + t * u_along
-            valid = (t >= 0.0) & ((a - slo) * (shi - a) >= 0.0)
-            return jnp.minimum(best, jnp.where(valid, t, _BIG))
+        # UNROLL segments per trip; the tail is masked by the scalar
+        # ``kk < hi`` (folded into ``valid``) with the load index clamped
+        # to the table (the sweep bounds are dynamic, so the compiler
+        # can't know the remainder).
+        def body(i, best):
+            base = lo + i * UNROLL
+            for u in range(UNROLL):
+                kk = base + u
+                kcl = jnp.minimum(kk, k_max)
+                p = seg_ref[kcl, 0]
+                slo = seg_ref[kcl, 1]
+                shi = seg_ref[kcl, 2]
+                t = (p - o_perp) * u_inv
+                a = o_along + t * u_along
+                valid = ((kk < hi) & (t >= 0.0)
+                         & ((a - slo) * (shi - a) >= 0.0))
+                best = jnp.minimum(best, jnp.where(valid, t, _BIG))
+            return best
 
-        return jax.lax.fori_loop(lo, hi, body, best)
+        trips = (hi - lo + (UNROLL - 1)) // UNROLL
+        return jax.lax.fori_loop(0, trips, body, best)
 
     shape = x.shape
     bv_ref[:, :] = sweep(0, meta_ref[0], True,
@@ -137,6 +151,178 @@ def _rp_fwd_impl(segment_params, sweep_meta, x, y, cos_t, sin_t,
     isv = bv <= bh
     hit = jnp.minimum(bv, bh) < max_range
     return r, isv, hit
+
+
+def _kernel_tiled(tids_ref, tmeta_ref, seg_ref, x_ref, y_ref, ct_ref,
+                  st_ref, ic_ref, is_ref, bv_ref, bh_ref):
+    # Per-agent program: the BlockSpec index map already routed this
+    # program's tile block (1, K_tile, 4) here via tids; the per-tile
+    # sweep bounds are read from the (T, 3) SMEM table.
+    i = pl.program_id(0)
+    tid = tids_ref[i]
+    x = x_ref[0]
+    y = y_ref[0]
+    ct = ct_ref[0]
+    st = st_ref[0]
+    inv_c = ic_ref[0]
+    inv_s = is_ref[0]
+    k_max = seg_ref.shape[1] - 1
+
+    def sweep(lo, hi, vertical, best):
+        o_perp = x if vertical else y
+        o_along = y if vertical else x
+        u_inv = inv_c if vertical else inv_s
+        u_along = st if vertical else ct
+
+        def body(it, best):
+            base = lo + it * UNROLL
+            for u in range(UNROLL):
+                kk = base + u
+                kcl = jnp.minimum(kk, k_max)
+                p = seg_ref[0, kcl, 0]
+                slo = seg_ref[0, kcl, 1]
+                shi = seg_ref[0, kcl, 2]
+                t = (p - o_perp) * u_inv
+                a = o_along + t * u_along
+                valid = ((kk < hi) & (t >= 0.0)
+                         & ((a - slo) * (shi - a) >= 0.0))
+                best = jnp.minimum(best, jnp.where(valid, t, _BIG))
+            return best
+
+        trips = (hi - lo + (UNROLL - 1)) // UNROLL
+        return jax.lax.fori_loop(0, trips, body, best)
+
+    shape = x.shape
+    bv_ref[0] = sweep(0, tmeta_ref[tid, 0], True,
+                      jnp.full(shape, _BIG, jnp.float32))
+    bh_ref[0] = sweep(tmeta_ref[tid, 1], tmeta_ref[tid, 2], False,
+                      jnp.full(shape, _BIG, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_shape", "interpret"))
+def _raycast_pallas_tiled_raw(tiles, tile_sweep_meta, tiles_shape,
+                              tile_size, tile_origin, x0, y0,
+                              x, y, cos_t, sin_t, inv_c, inv_s,
+                              interpret: bool = False):
+    """Tile-culled ray-major Pallas raycast. Ray args are (A, R, 128);
+    x0/y0 are (A,) agent positions for tile lookup. Returns per-orientation
+    minima (best_v, best_h), unclamped."""
+    a_n, rows, _ = x.shape
+    nr_t, nc_t = tiles_shape
+    tox, toy = tile_origin
+    ci = jnp.clip(((x0 - tox) / tile_size).astype(jnp.int32), 0, nc_t - 1)
+    ri = jnp.clip(((y0 - toy) / tile_size).astype(jnp.int32), 0, nr_t - 1)
+    tids = ri * nc_t + ci                     # (A,) int32
+    seg_rows = tiles.transpose(0, 2, 1)       # (T, K, 4): see _kernel note
+    k = seg_rows.shape[1]
+    ray_spec = pl.BlockSpec((1, rows, LANES), lambda i, tids, tm: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((1, k, 4), lambda i, tids, tm: (tids[i], 0, 0),
+                            memory_space=pltpu.VMEM)
+    bv, bh = pl.pallas_call(
+        _kernel_tiled,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(a_n,),
+            in_specs=[seg_spec] + [ray_spec] * 6,
+            out_specs=[ray_spec, ray_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((a_n, rows, LANES), jnp.float32)] * 2,
+        interpret=interpret,
+    )(tids, tile_sweep_meta, seg_rows, x, y, cos_t, sin_t, inv_c, inv_s)
+    return bv, bh
+
+
+def _rpt_fwd_impl(tiles, tile_sweep_meta, tiles_shape, tile_size,
+                  tile_origin, x0, y0, x, y, cos_t, sin_t, max_range,
+                  interpret):
+    from .raycast_segments import _ray_invs
+    a_n, b_n = x.shape
+    b_pad = (-b_n) % LANES
+    inv_c, inv_s = _ray_invs(cos_t, sin_t)
+
+    def prep(a):
+        if b_pad:
+            a = jnp.pad(a, ((0, 0), (0, b_pad)))
+        return a.reshape(a_n, -1, LANES)
+
+    bv, bh = _raycast_pallas_tiled_raw(
+        tiles, tile_sweep_meta, tuple(tiles_shape), tile_size,
+        tile_origin, x0, y0, prep(x), prep(y), prep(cos_t), prep(sin_t),
+        prep(inv_c), prep(inv_s), interpret=interpret)
+    unflat = lambda a: a.reshape(a_n, -1)[:, :b_n]
+    bv, bh = unflat(bv), unflat(bh)
+    r = jnp.minimum(jnp.minimum(bv, bh), max_range)
+    isv = bv <= bh
+    hit = jnp.minimum(bv, bh) < max_range
+    return r, isv, hit
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 11, 12))
+def raycast_pallas_tiled(tiles, tile_sweep_meta, tiles_shape, tile_size,
+                         tile_origin, x0, y0, x, y, cos_t, sin_t,
+                         max_range: float = 10.0, interpret: bool = False):
+    """Differentiable tile-culled Pallas raycast; rays are (A, B).
+
+    Values match ``raycast_tiled`` (same per-tile cull lists); each agent
+    program sweeps only its tile's real segments via the (T, 3)
+    ``tile_sweep_meta`` bounds (segments.py::build_segment_map)."""
+    r, _, _ = _rpt_fwd_impl(tiles, tile_sweep_meta, tiles_shape, tile_size,
+                            tile_origin, x0, y0, x, y, cos_t, sin_t,
+                            max_range, interpret)
+    return r
+
+
+def _rpt_fwd(tiles, tile_sweep_meta, tiles_shape, tile_size, tile_origin,
+             x0, y0, x, y, cos_t, sin_t, max_range, interpret):
+    r, isv, hit = _rpt_fwd_impl(tiles, tile_sweep_meta, tiles_shape,
+                                tile_size, tile_origin, x0, y0, x, y,
+                                cos_t, sin_t, max_range, interpret)
+    return r, (jnp.shape(tiles), jnp.shape(tile_sweep_meta), jnp.shape(x0),
+               r, isv, hit, cos_t, sin_t)
+
+
+def _rpt_bwd(tiles_shape, tile_size, tile_origin, max_range, interpret,
+             res, g):
+    from .raycast_grad import _winner_vjp
+    tshape, mshape, ashape, r, isv, hit, cos_t, sin_t = res
+    gx, gy, gct, gst = _winner_vjp(r, isv, hit, cos_t, sin_t, g)
+    zero_a = jnp.zeros(ashape, jnp.float32)
+    tmeta_ct = np.zeros(mshape, jax.dtypes.float0)
+    return (jnp.zeros(tshape, jnp.float32), tmeta_ct, zero_a, zero_a,
+            gx, gy, gct, gst)
+
+
+raycast_pallas_tiled.defvjp(_rpt_fwd, _rpt_bwd)
+
+
+def scan_poses_pallas(segmap, poses, num_beams: int = 1080,
+                      fov: float = 4.712388980384690, max_range=10.0,
+                      theta_discretization: int = 0,
+                      interpret=None) -> jnp.ndarray:
+    """Full lidar scans for poses (..., 3) via the Pallas kernels.
+
+    Values match ``scan_poses_segments`` (same cull lists and extent mask);
+    dispatches to the tiled kernel when the map carries tile tables. On a
+    non-TPU backend the kernel runs in interpret mode (tests); pass
+    ``interpret=False`` to force compilation.
+    """
+    from .common import rays_from_poses, apply_extent_mask
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, poses2, xb, yb, ct, st = rays_from_poses(
+        poses, num_beams, fov, theta_discretization)
+    if segmap.tiles is not None and segmap.tile_sweep_meta is not None:
+        r = raycast_pallas_tiled(
+            segmap.tiles, segmap.tile_sweep_meta, segmap.tiles_shape,
+            segmap.tile_size, segmap.tile_origin, poses2[:, 0],
+            poses2[:, 1], xb, yb, ct, st, max_range, interpret)
+    else:
+        r = raycast_pallas(segmap.params, segmap.sweep_meta, xb, yb, ct, st,
+                           max_range, interpret)
+    r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], segmap.extent,
+                          max_range)
+    return r.reshape(*batch, num_beams)
 
 
 def sweep_meta_mixed(n_vertical, n_segments):

@@ -34,7 +34,11 @@ from .maps.segments import SegmentMap, build_segment_map
 from .maps.contours import build_general_segment_map
 from .ops.raymarch_xla import scan_poses as _scan_edf
 from .ops.raycast_segments import scan_poses_segments as _scan_segments
+from .ops.raycast_pallas import scan_poses_pallas as _scan_pallas
 from .ops.noise import add_scan_noise
+
+# backends whose map object is a compiled segment table (vs the EDF track)
+_SEGMENT_BACKENDS = ("segments", "segments_simplified", "segments_pallas")
 
 
 class StepOutput(NamedTuple):
@@ -61,9 +65,11 @@ def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
     """Load/accept a map and precompute everything the step needs.
 
     backend: "segments" (dense geometry, exact-boundary semantics),
-    "segments_simplified" (contour-simplified geometry: ~1-cell tolerance,
-    fastest on curvy maps), "edf" (reference-exact DT march),
-    "edf_bilinear" (smooth DT march for map gradients).
+    "segments_pallas" (same geometry through the fused Pallas kernels —
+    fastest on TPU hardware), "segments_simplified" (contour-simplified
+    geometry: ~1-cell tolerance, fastest on curvy maps), "edf"
+    (reference-exact DT march), "edf_bilinear" (smooth DT march for map
+    gradients).
     """
     track = (load_builtin(track_or_name)
              if isinstance(track_or_name, str) else track_or_name)
@@ -71,7 +77,7 @@ def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
     scan = scan or ScanParams()
     sim = sim or SimParams()
     segmap = None
-    if backend == "segments":
+    if backend in ("segments", "segments_pallas"):
         segmap = build_segment_map(
             np.asarray(track.occupancy), track.resolution,
             (track.origin_x, track.origin_y),
@@ -97,11 +103,19 @@ def make_scan_fn(bundle: SimBundle, backend: str = "segments",
     """
     sc = bundle.scan
     theta_disc = sc.theta_discretization if sc.use_theta_table else 0
-    if backend in ("segments", "segments_simplified"):
+    if backend in _SEGMENT_BACKENDS:
         if bundle.segmap is None:
             raise ValueError("bundle built without segment backend")
         if map_cell is None:
             map_cell = {"map": bundle.segmap}
+        if backend == "segments_pallas":
+
+            def scan_fn(poses):
+                return _scan_pallas(
+                    map_cell["map"], poses, num_beams=sc.num_beams,
+                    fov=sc.fov, max_range=sc.max_range,
+                    theta_discretization=theta_disc)
+            return scan_fn
         from .maps.contours import GeneralSegmentMap
         if isinstance(bundle.segmap, GeneralSegmentMap):
             from .ops.raycast_general import scan_poses_general
@@ -146,7 +160,7 @@ def make_step_fn(bundle: SimBundle, backend: str = "segments",
     implicit (everything is written batched).
     """
     map_cell = {"map": (bundle.segmap
-                        if backend in ("segments", "segments_simplified")
+                        if backend in _SEGMENT_BACKENDS
                         else bundle.track)}
     inner_cell = {"map": None}
     scan_fn = make_scan_fn(bundle, backend, inner_cell)
@@ -229,7 +243,7 @@ class RacecarSimulator:
     # -- internal ---------------------------------------------------------
     def _current_map(self):
         return (self.bundle.segmap
-                if self.backend in ("segments", "segments_simplified")
+                if self.backend in _SEGMENT_BACKENDS
                 else self.bundle.track)
 
     def _rebuild(self):
@@ -322,7 +336,7 @@ class RacecarSimulator:
         self._last = None
 
     def _build_segmap(self, track):
-        if self.backend not in ("segments", "segments_simplified"):
+        if self.backend not in _SEGMENT_BACKENDS:
             return None
         builder = (build_general_segment_map
                    if self.backend == "segments_simplified"

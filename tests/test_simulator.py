@@ -144,6 +144,21 @@ def test_backends_agree(sim_bundle):
     assert np.quantile(d, 0.95) < 2 * sim_bundle.track.resolution
 
 
+def test_pallas_backend_matches_segments(sim_bundle):
+    """The segments_pallas facade backend is bit-identical to segments
+    (same geometry, same extent mask; kernel in interpret mode on CPU)."""
+    x, y = _open_pose(sim_bundle)
+    s = state_from_pose(jnp.array([x]), y, 0.7)
+    outs = {}
+    for backend in ("segments", "segments_pallas"):
+        step = make_step_fn(sim_bundle, backend=backend, with_noise=False)
+        out = step(s, (jnp.ones(1), jnp.zeros(1)), None)
+        outs[backend] = (np.asarray(out.ranges), np.asarray(out.state.x),
+                         np.asarray(out.collision))
+    for a, b in zip(outs["segments"], outs["segments_pallas"]):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_obstacle_swap_avoids_recompile(sim_bundle):
     """Obstacle add/clear with unchanged padded shapes must reuse the
     compiled step (map rides as a traced argument)."""
