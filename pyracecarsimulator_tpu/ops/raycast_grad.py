@@ -204,6 +204,13 @@ def _winner_vjp(r, isv, hit, cos_t, sin_t, g):
     The winner's u_perp is the ray's own direction component selected by the
     orientation bit; a vertical hit guarantees cos != 0 (and horizontal,
     sin != 0), so the reciprocal is safe wherever ``hit``.
+
+    Corner-tie convention: at an EXACT V/H tie both orientations are valid
+    subgradients. The split-register paths (_finish_vh, the Pallas kernel's
+    ``bv <= bh``) break ties toward VERTICAL; the mixed packed-key path
+    breaks toward HORIZONTAL (the isv bit makes vertical keys 1 larger).
+    Cross-layout gradient reproducibility at exact corner hits is therefore
+    not guaranteed — a measure-zero set under float inputs.
     """
     u_win = jnp.where(isv, cos_t, sin_t)
     u_safe = jnp.where(u_win == 0.0, 1e-30, u_win)
@@ -221,7 +228,13 @@ def raycast_all_diff(segment_params, x, y, cos_t, sin_t,
                      max_range=10.0, chunk: int = 1024, kv: int = 0):
     """Differentiable full-set raycast (analytic VJP, O(rays) backward).
 
-    Same values as ``raycast_all``. ``segment_params`` receives a zero
+    Values match ``raycast_all`` exactly OUTSIDE autodiff (the primal path
+    below is literally raycast_all). UNDER autodiff the mixed-layout
+    (kv=0) winner-tracking forward clears the mantissa LSB of t to pack the
+    orientation bit, so the primal can sit <=1 ulp below raycast_all and
+    ``hit`` can flip exactly at the max_range boundary (pinned in
+    tests/test_grad.py::test_diff_primal_ulp_contract). The split layout
+    (kv>0) is bit-exact in both modes. ``segment_params`` receives a zero
     cotangent (map grads use the EDF backend, module doc).
 
     The primal path below runs only OUTSIDE autodiff, so it uses the cheap

@@ -108,6 +108,13 @@ def make_scan_fn(bundle: SimBundle, backend: str = "segments",
             raise ValueError("bundle built without segment backend")
         if map_cell is None:
             map_cell = {"map": bundle.segmap}
+        from .maps.contours import GeneralSegmentMap
+        if (backend == "segments_pallas"
+                and isinstance(bundle.segmap, GeneralSegmentMap)):
+            raise ValueError(
+                "backend='segments_pallas' needs an exact SegmentMap "
+                "(build_sim(backend='segments_pallas')), but this bundle "
+                "carries simplified GeneralSegmentMap geometry")
         if backend == "segments_pallas":
 
             def scan_fn(poses):
@@ -116,7 +123,6 @@ def make_scan_fn(bundle: SimBundle, backend: str = "segments",
                     fov=sc.fov, max_range=sc.max_range,
                     theta_discretization=theta_disc)
             return scan_fn
-        from .maps.contours import GeneralSegmentMap
         if isinstance(bundle.segmap, GeneralSegmentMap):
             from .ops.raycast_general import scan_poses_general
 

@@ -45,6 +45,23 @@ def test_values_match_plain(small_track, rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_diff_primal_ulp_contract(small_track, rng):
+    """UNDER autodiff the mixed-layout winner forward packs the orientation
+    bit into t's mantissa LSB, so its primal may sit <=1 ulp below the
+    plain forward (and never above). Pins the tolerated deviation the
+    raycast_all_diff docstring documents."""
+    params = _params(small_track)          # mixed layout (kv=0)
+    x, y, ct, st = _rand_rays(small_track, rng, n=256)
+    r_plain = np.asarray(raycast_all(params, x, y, ct, st, 10.0))
+    # jax.vjp forces the custom_vjp fwd rule (the winner-tracking path)
+    r_diff, _ = jax.vjp(
+        lambda x, y: raycast_all_diff(params, x, y, ct, st, 10.0), x, y)
+    r_diff = np.asarray(r_diff)
+    assert (r_diff <= r_plain).all()
+    ulp = np.spacing(r_plain.astype(np.float32))
+    assert (r_plain - r_diff <= ulp + 1e-30).all()
+
+
 def test_custom_vjp_matches_autodiff(small_track, rng):
     params = _params(small_track)
     x, y, ct, st = _rand_rays(small_track, rng)

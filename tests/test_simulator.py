@@ -159,6 +159,16 @@ def test_pallas_backend_matches_segments(sim_bundle):
         np.testing.assert_array_equal(a, b)
 
 
+def test_pallas_backend_rejects_simplified_geometry(sim_bundle):
+    """segments_pallas needs an exact SegmentMap; a bundle built with
+    simplified GeneralSegmentMap geometry must fail loudly, not with an
+    AttributeError deep in the kernel (ADVICE round 1)."""
+    bundle = build_sim(sim_bundle.track, scan=SCAN64,
+                       backend="segments_simplified")
+    with pytest.raises(ValueError, match="simplified"):
+        make_step_fn(bundle, backend="segments_pallas", with_noise=False)
+
+
 def test_obstacle_swap_avoids_recompile(sim_bundle):
     """Obstacle add/clear with unchanged padded shapes must reuse the
     compiled step (map rides as a traced argument)."""
