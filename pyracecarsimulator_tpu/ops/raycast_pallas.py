@@ -4,27 +4,30 @@ This is the framework's hand-written hot kernel (the "fused Pallas forward
 kernel" of SURVEY.md §7 step 4, re-targeted at the dense-geometry backend
 that the gather-bound DT march graduated into — see raycast_segments.py).
 
-Design (see /opt/skills/guides/pallas_guide.md):
-  * Rays are laid out RAY-MAJOR: each program owns a (ROWS, 128) block of
-    rays — full lane utilization (a first draft used (N, 1) ray columns,
-    wasting 127/128 lanes and drowning in grid overhead).
-  * The whole segment table sits in VMEM as (K, 4) rows (dynamic scalar
-    loads must index along SUBLANES; Mosaic has no dynamic lane indexing);
-    ``fori_loop``s sweep it one segment at a time: 3 scalar loads broadcast
-    against the whole ray block, ~9 VPU ops per (ray, segment) pair.
-  * DYNAMIC sweep bounds (scalar-prefetch SMEM): the vertical sweep runs
-    over [0, v_hi) and the horizontal over [h_lo, h_end), where the three
-    indices ride as an int32 leaf built at map-load time. Unlike the XLA
-    chunked path — whose vectorized chunks must be 128-lane aligned — the
-    kernel's per-segment loop can split and stop at ANY row, so it sweeps
-    only REAL segments: no padding sentinels, no per-pair orientation
-    selects, and obstacle-rebuilt maps with different V/H counts reuse the
-    compiled kernel (the bounds are data, not shape).
-  * Winner tracking is free: the two sweeps are sequential in time, so
-    carrying separate (best_v, best_h) registers costs the same one
-    ``min`` per pair as a plain reduction, and the VJP's orientation bit
-    is just ``best_v <= best_h`` (cf. raycast_grad.py — the XLA path needs
-    a packed-key trick for this; the kernel does not).
+Kernel design, round 2 (see /opt/skills/guides/pallas_guide.md):
+  * Rays are RAY-MAJOR: each program owns a (ROWS, 128) block of rays.
+  * Segments ride on SUBLANES: the sweep loads (SEG_BLK=8, 1) column
+    vectors [p, lo, hi] and broadcasts them against (RB, 128) ray rows —
+    every VPU op is a full (8, RB, 128) register tile, 8 segments x RB*128
+    rays per instruction. This replaced the round-1 scalar sweep (3 scalar
+    loads + fori bookkeeping PER SEGMENT, which lost to the XLA lowering);
+    now loads and loop overhead amortize over 8 segments x RB rows.
+  * The interval test stays in the two-sided product form
+    ``(a - lo)*(hi - a) >= 0`` — one VPU op more than a midpoint/half-width
+    form, but bit-identical to the XLA path's acceptance boundary (the
+    rounded midpoint would flip ulp-boundary hits and break the exact
+    parity gate of tests/test_pallas.py).
+  * DYNAMIC sweep bounds (scalar-prefetch SMEM): the vertical sweep covers
+    segment rows [0, v_hi) and the horizontal [h_lo, h_end); the bounds
+    ride as an int32 leaf built at map-load time, so the kernel sweeps
+    only REAL segments (no padding sentinels, no per-pair orientation
+    selects) and obstacle-rebuilt maps with different V/H counts reuse the
+    compiled kernel. Group masks come from an (8,1) iota against the
+    bounds; the group load index is clamped to the table.
+  * Winner tracking is free: the V and H sweeps are sequential, so the
+    separate (best_v, best_h) outputs cost nothing extra, and the VJP's
+    orientation bit is just ``best_v <= best_h`` (cf. raycast_grad.py —
+    the XLA path needs a packed-key trick for this; the kernel does not).
   * The backward needs no kernel: with the orientation bit the VJP is
     closed-form and elementwise over rays (raycast_grad._winner_vjp).
 
@@ -45,57 +48,63 @@ from jax.experimental.pallas import tpu as pltpu
 _BIG = np.float32(3.0e38)
 ROWS = 32             # ray rows per program -> 32*128 = 4096 rays/program
 LANES = 128
-UNROLL = 4            # segments per sweep iteration (amortizes the scalar
-                      # loads + loop bookkeeping over 4x the VPU work)
+SEG_BLK = 8           # segments per sublane column group
+RB = 8                # ray rows per inner tile -> (8, RB, 128) registers
+
+
+def _sweep_rows(seg_ref, lo, hi, o_perp, o_along, u_inv, u_along,
+                out_ref, seg_base=()):
+    """One orientation sweep: segment rows [lo, hi) of ``seg_ref`` against
+    the (ROWS, LANES) ray block, writing per-ray minima to ``out_ref``.
+
+    seg_ref: (K, 4) rows [p, lo, hi, isv] (``seg_base`` prefixes the index
+    for the tiled (1, K, 4) layout). lo/hi are traced scalars.
+    """
+    k_rows = seg_ref.shape[len(seg_base)]
+    nrows = o_perp.shape[0]
+    ids0 = jax.lax.broadcasted_iota(jnp.int32, (SEG_BLK, 1, 1), 0)
+    lo_g = lo // SEG_BLK
+    hi_g = (hi + SEG_BLK - 1) // SEG_BLK
+
+    for r0 in range(0, nrows, RB):
+        rb = min(RB, nrows - r0)
+        # (1, rb, 128) ray tiles
+        op = o_perp[r0:r0 + rb][None]
+        oa = o_along[r0:r0 + rb][None]
+        ui = u_inv[r0:r0 + rb][None]
+        ua = u_along[r0:r0 + rb][None]
+
+        def body(g, best, op=op, oa=oa, ui=ui, ua=ua):
+            k = jnp.minimum(g * SEG_BLK, k_rows - SEG_BLK)
+            idx = seg_base + (pl.ds(k, SEG_BLK),)
+            p = seg_ref[idx + (pl.ds(0, 1),)].reshape(SEG_BLK, 1, 1)
+            slo = seg_ref[idx + (pl.ds(1, 1),)].reshape(SEG_BLK, 1, 1)
+            shi = seg_ref[idx + (pl.ds(2, 1),)].reshape(SEG_BLK, 1, 1)
+            ids = ids0 + k
+            live = (ids >= lo) & (ids < hi)
+            t = (p - op) * ui                      # (8, rb, 128)
+            a = oa + t * ua
+            valid = live & (t >= 0.0) & ((a - slo) * (shi - a) >= 0.0)
+            return jnp.minimum(best, jnp.where(valid, t, _BIG))
+
+        init = jnp.full((SEG_BLK, rb, LANES), _BIG, jnp.float32)
+        best = jax.lax.fori_loop(lo_g, hi_g, body, init)
+        out_ref[r0:r0 + rb, :] = jnp.min(best, axis=0)
 
 
 def _kernel(meta_ref, seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref,
             is_ref, bv_ref, bh_ref):
     # seg_ref layout: (K, 4) rows [p, lo, hi, isv] - the sweep's dynamic
     # index runs along SUBLANES (Mosaic does not lower dynamic LANE-indexed
-    # scalar loads; observed remote-compile failure on seg_ref[0, k]).
-    # meta_ref (SMEM): [v_hi, h_lo, h_end] real-segment sweep bounds.
+    # loads). meta_ref (SMEM): [v_hi, h_lo, h_end] real-segment bounds.
     x = x_ref[:, :]
     y = y_ref[:, :]
     ct = ct_ref[:, :]
     st = st_ref[:, :]
     inv_c = ic_ref[:, :]
     inv_s = is_ref[:, :]
-    k_max = seg_ref.shape[0] - 1
-
-    def sweep(lo, hi, vertical, best):
-        o_perp = x if vertical else y
-        o_along = y if vertical else x
-        u_inv = inv_c if vertical else inv_s
-        u_along = st if vertical else ct
-
-        # UNROLL segments per trip; the tail is masked by the scalar
-        # ``kk < hi`` (folded into ``valid``) with the load index clamped
-        # to the table (the sweep bounds are dynamic, so the compiler
-        # can't know the remainder).
-        def body(i, best):
-            base = lo + i * UNROLL
-            for u in range(UNROLL):
-                kk = base + u
-                kcl = jnp.minimum(kk, k_max)
-                p = seg_ref[kcl, 0]
-                slo = seg_ref[kcl, 1]
-                shi = seg_ref[kcl, 2]
-                t = (p - o_perp) * u_inv
-                a = o_along + t * u_along
-                valid = ((kk < hi) & (t >= 0.0)
-                         & ((a - slo) * (shi - a) >= 0.0))
-                best = jnp.minimum(best, jnp.where(valid, t, _BIG))
-            return best
-
-        trips = (hi - lo + (UNROLL - 1)) // UNROLL
-        return jax.lax.fori_loop(0, trips, body, best)
-
-    shape = x.shape
-    bv_ref[:, :] = sweep(0, meta_ref[0], True,
-                         jnp.full(shape, _BIG, jnp.float32))
-    bh_ref[:, :] = sweep(meta_ref[1], meta_ref[2], False,
-                         jnp.full(shape, _BIG, jnp.float32))
+    _sweep_rows(seg_ref, 0, meta_ref[0], x, y, inv_c, st, bv_ref)
+    _sweep_rows(seg_ref, meta_ref[1], meta_ref[2], y, x, inv_s, ct, bh_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -166,37 +175,10 @@ def _kernel_tiled(tids_ref, tmeta_ref, seg_ref, x_ref, y_ref, ct_ref,
     st = st_ref[0]
     inv_c = ic_ref[0]
     inv_s = is_ref[0]
-    k_max = seg_ref.shape[1] - 1
-
-    def sweep(lo, hi, vertical, best):
-        o_perp = x if vertical else y
-        o_along = y if vertical else x
-        u_inv = inv_c if vertical else inv_s
-        u_along = st if vertical else ct
-
-        def body(it, best):
-            base = lo + it * UNROLL
-            for u in range(UNROLL):
-                kk = base + u
-                kcl = jnp.minimum(kk, k_max)
-                p = seg_ref[0, kcl, 0]
-                slo = seg_ref[0, kcl, 1]
-                shi = seg_ref[0, kcl, 2]
-                t = (p - o_perp) * u_inv
-                a = o_along + t * u_along
-                valid = ((kk < hi) & (t >= 0.0)
-                         & ((a - slo) * (shi - a) >= 0.0))
-                best = jnp.minimum(best, jnp.where(valid, t, _BIG))
-            return best
-
-        trips = (hi - lo + (UNROLL - 1)) // UNROLL
-        return jax.lax.fori_loop(0, trips, body, best)
-
-    shape = x.shape
-    bv_ref[0] = sweep(0, tmeta_ref[tid, 0], True,
-                      jnp.full(shape, _BIG, jnp.float32))
-    bh_ref[0] = sweep(tmeta_ref[tid, 1], tmeta_ref[tid, 2], False,
-                      jnp.full(shape, _BIG, jnp.float32))
+    _sweep_rows(seg_ref, 0, tmeta_ref[tid, 0], x, y, inv_c, st,
+                bv_ref.at[0], seg_base=(pl.ds(0, 1),))
+    _sweep_rows(seg_ref, tmeta_ref[tid, 1], tmeta_ref[tid, 2], y, x,
+                inv_s, ct, bh_ref.at[0], seg_base=(pl.ds(0, 1),))
 
 
 @functools.partial(jax.jit, static_argnames=("tiles_shape", "interpret"))
