@@ -68,28 +68,47 @@ def _sweep_rows(seg_ref, lo, hi, o_perp, o_along, u_inv, u_along,
 
     for r0 in range(0, nrows, RB):
         rb = min(RB, nrows - r0)
-        # (1, rb, 128) ray tiles
-        op = o_perp[r0:r0 + rb][None]
-        oa = o_along[r0:r0 + rb][None]
-        ui = u_inv[r0:r0 + rb][None]
-        ua = u_along[r0:r0 + rb][None]
+        # (1, rb, 128) ray tiles; single-row tails squeeze to (rb=1 ->
+        # (8, 128)) 2D tiles — segments on sublanes x rays on lanes — so a
+        # tail row runs at FULL vreg utilization instead of 1/8 (a 9-row
+        # agent block would otherwise spend as long on row 9 as on rows
+        # 1-8; measured 1.8x on berlin's 1080-beam (9, 128) layout).
+        if rb == 1:
+            op = o_perp[r0:r0 + 1, :]            # (1, 128)
+            oa = o_along[r0:r0 + 1, :]
+            ui = u_inv[r0:r0 + 1, :]
+            ua = u_along[r0:r0 + 1, :]
+            ids2 = ids0.reshape(SEG_BLK, 1)
+            col = lambda v: v.reshape(SEG_BLK, 1)
+            shape = (SEG_BLK, LANES)
+            reduce_axis = 0
+        else:
+            op = o_perp[r0:r0 + rb][None]        # (1, rb, 128)
+            oa = o_along[r0:r0 + rb][None]
+            ui = u_inv[r0:r0 + rb][None]
+            ua = u_along[r0:r0 + rb][None]
+            ids2 = ids0
+            col = lambda v: v.reshape(SEG_BLK, 1, 1)
+            shape = (SEG_BLK, rb, LANES)
+            reduce_axis = 0
 
-        def body(g, best, op=op, oa=oa, ui=ui, ua=ua):
+        def body(g, best, op=op, oa=oa, ui=ui, ua=ua, ids2=ids2, col=col):
             k = jnp.minimum(g * SEG_BLK, k_rows - SEG_BLK)
             idx = seg_base + (pl.ds(k, SEG_BLK),)
-            p = seg_ref[idx + (pl.ds(0, 1),)].reshape(SEG_BLK, 1, 1)
-            slo = seg_ref[idx + (pl.ds(1, 1),)].reshape(SEG_BLK, 1, 1)
-            shi = seg_ref[idx + (pl.ds(2, 1),)].reshape(SEG_BLK, 1, 1)
-            ids = ids0 + k
+            p = col(seg_ref[idx + (pl.ds(0, 1),)])
+            slo = col(seg_ref[idx + (pl.ds(1, 1),)])
+            shi = col(seg_ref[idx + (pl.ds(2, 1),)])
+            ids = ids2 + k
             live = (ids >= lo) & (ids < hi)
-            t = (p - op) * ui                      # (8, rb, 128)
+            t = (p - op) * ui                      # (8[, rb], 128)
             a = oa + t * ua
             valid = live & (t >= 0.0) & ((a - slo) * (shi - a) >= 0.0)
             return jnp.minimum(best, jnp.where(valid, t, _BIG))
 
-        init = jnp.full((SEG_BLK, rb, LANES), _BIG, jnp.float32)
+        init = jnp.full(shape, _BIG, jnp.float32)
         best = jax.lax.fori_loop(lo_g, hi_g, body, init)
-        out_ref[r0:r0 + rb, :] = jnp.min(best, axis=0)
+        out_ref[r0:r0 + rb, :] = jnp.min(best, axis=reduce_axis,
+                                         keepdims=(rb == 1))
 
 
 def _kernel(meta_ref, seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref,

@@ -126,6 +126,25 @@ def test_tiled_matches_xla(small_track, rng):
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
+def test_tiled_tail_row_matches_xla(small_track, rng):
+    """1080 beams -> 9 ray rows: one full 8-row tile + a single-row tail,
+    exercising the squeezed 2D (SEG_BLK, LANES) tail path of _sweep_rows
+    (berlin's production layout)."""
+    from pyracecarsimulator_tpu.ops.raycast_segments import raycast_tiled
+    from pyracecarsimulator_tpu.ops.raycast_pallas import (
+        raycast_pallas_tiled)
+    sm, (x0, y0, xb, yb, ct, st) = _tiled_setup(small_track, rng, a=6,
+                                                b=1080)
+    ref = raycast_tiled(sm.tiles, sm.tiles_shape, sm.tile_size,
+                        sm.tile_origin, x0, y0, xb, yb, ct, st, 2.0,
+                        512, sm.kv_tile)
+    got = raycast_pallas_tiled(sm.tiles, sm.tile_sweep_meta,
+                               sm.tiles_shape, sm.tile_size,
+                               sm.tile_origin, x0, y0, xb, yb, ct, st,
+                               2.0, True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
 def test_tiled_vjp_matches_autodiff(small_track, rng):
     from pyracecarsimulator_tpu.ops.raycast_segments import raycast_tiled
     from pyracecarsimulator_tpu.ops.raycast_pallas import (
