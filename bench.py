@@ -34,6 +34,14 @@ def _timed(fn, *args, overhead=0.035):
     return max(dt, 1e-9)
 
 
+def _timed_best(fn, *args, k=3):
+    """Min of ``k`` timed calls (after the caller's warmup). The axon
+    tunnel adds multi-ms jitter per fetch; a single sample produced the
+    unexplained -24% swings of BENCH_r01 vs BASELINE.md. Min over 3 is
+    the standard latency estimator under one-sided noise."""
+    return min(_timed(fn, *args) for _ in range(k))
+
+
 def main():
     import jax
     try:  # persistent compile cache: reruns skip the 30-90s compiles
@@ -120,20 +128,72 @@ def main():
             acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_B))
             return acc
 
+        # the fused Pallas kernels over the SAME geometry (the hand-written
+        # TPU path, ops/raycast_pallas.py; tiled on culling maps)
+        from pyracecarsimulator_tpu.ops.raycast_pallas import (
+            raycast_pallas, raycast_pallas_tiled)
+        if use_tiles:
+            def pal_once(xb, yb, ct, st):
+                return raycast_pallas_tiled(
+                    sm.tiles, sm.tile_sweep_meta, sm.tiles_shape,
+                    sm.tile_size, sm.tile_origin, x0, y0, xb, yb, ct, st,
+                    10.0, False)
+        else:
+            def pal_once(xb, yb, ct, st):
+                return raycast_pallas(sm.params, sm.sweep_meta, xb, yb,
+                                      ct, st, 10.0, False)
+
+        def make_loops(once):
+            @jax.jit
+            def f_loop(xb, yb, ct, st):
+                def rep(acc, i):
+                    d = i.astype(jnp.float32) * 1e-7
+                    return acc + jnp.sum(once(xb + d, yb + d, ct, st)), None
+                acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_F))
+                return acc
+
+            @jax.jit
+            def fb_loop(xb, yb, ct, st):
+                def rep(acc, i):
+                    d = i.astype(jnp.float32) * 1e-7
+                    l, g = jax.value_and_grad(
+                        lambda a, b: jnp.sum(once(a, b, ct, st)),
+                        argnums=(0, 1))(xb + d, yb + d)
+                    return acc + l + jnp.sum(g[0]), None
+                acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_B))
+                return acc
+            return f_loop, fb_loop
+
         try:
             _log(f"[bench] {name}: compiling fwd ...")
             _timed(fwd_loop, xb, yb, ct, st)     # warm + compile
-            dt = _timed(fwd_loop, xb, yb, ct, st) / REPS_F
+            dt = _timed_best(fwd_loop, xb, yb, ct, st) / REPS_F
             results[f"{name}_fwd"] = A * B / dt
             _log(f"[bench] {name}_fwd rays/s = {results[f'{name}_fwd']:.3e}")
             _log(f"[bench] {name}: compiling fwd+bwd ...")
             _timed(fwdbwd_loop, xb, yb, ct, st)
-            dt = _timed(fwdbwd_loop, xb, yb, ct, st) / REPS_B
+            dt = _timed_best(fwdbwd_loop, xb, yb, ct, st) / REPS_B
             results[f"{name}_fwdbwd"] = A * B / dt
             _log(f"[bench] {name}_fwdbwd rays/s = "
                  f"{results[f'{name}_fwdbwd']:.3e}")
         except Exception as e:
             _log(f"[bench] {name} stage failed: {e!r}")
+        try:
+            pf_loop, pfb_loop = make_loops(pal_once)
+            _log(f"[bench] {name}: compiling pallas fwd ...")
+            _timed(pf_loop, xb, yb, ct, st)
+            dt = _timed_best(pf_loop, xb, yb, ct, st) / REPS_F
+            results[f"{name}_pallas_fwd"] = A * B / dt
+            _log(f"[bench] {name}_pallas_fwd rays/s = "
+                 f"{results[f'{name}_pallas_fwd']:.3e}")
+            _log(f"[bench] {name}: compiling pallas fwd+bwd ...")
+            _timed(pfb_loop, xb, yb, ct, st)
+            dt = _timed_best(pfb_loop, xb, yb, ct, st) / REPS_B
+            results[f"{name}_pallas_fwdbwd"] = A * B / dt
+            _log(f"[bench] {name}_pallas_fwdbwd rays/s = "
+                 f"{results[f'{name}_pallas_fwdbwd']:.3e}")
+        except Exception as e:
+            _log(f"[bench] {name} pallas stage failed: {e!r}")
         extra[f"{name}_segments"] = int(sm.n_segments)
 
     # 1024-agent forward-only config (BASELINE.json configs[1])
@@ -156,7 +216,7 @@ def main():
             return acc
 
         _timed(loop1024, xbs, ybs, cts, sts)
-        dt = _timed(loop1024, xbs, ybs, cts, sts) / 20
+        dt = _timed_best(loop1024, xbs, ybs, cts, sts) / 20
         results["levine_1024_fwd"] = 1024 * B / dt
         _log(f"[bench] levine_1024_fwd rays/s = "
              f"{results['levine_1024_fwd']:.3e}")
@@ -189,7 +249,7 @@ def main():
 
         _log("[bench] berlin simplified: compiling ...")
         _timed(gen_loop, xb, yb, ct, st)
-        dt = _timed(gen_loop, xb, yb, ct, st) / 20
+        dt = _timed_best(gen_loop, xb, yb, ct, st) / 20
         results["berlin_simplified_fwd"] = A * B / dt
         extra["berlin_gsegments"] = int(gm.n_segments)
         _log(f"[bench] berlin_simplified_fwd rays/s = "
@@ -209,12 +269,47 @@ def main():
             return acc
 
         _timed(gen_fb_loop, xb, yb, ct, st)
-        dt = _timed(gen_fb_loop, xb, yb, ct, st) / 8
+        dt = _timed_best(gen_fb_loop, xb, yb, ct, st) / 8
         results["berlin_simplified_fwdbwd"] = A * B / dt
         _log(f"[bench] berlin_simplified_fwdbwd rays/s = "
              f"{results['berlin_simplified_fwdbwd']:.3e}")
     except Exception as e:
         _log(f"[bench] simplified stage failed: {e!r}")
+
+    # differentiable-map path: bilinear DT march, cotangent INTO THE MAP
+    # (BASELINE.json configs[2] "∂range/∂map backward"). 512 agents — the
+    # march is gather-bound (CLAUDE.md), this stage records that honestly.
+    try:
+        from pyracecarsimulator_tpu.ops.raymarch_xla import scan_poses
+        m = load_builtin("levine")
+        Ad, REPS_D = 512, 3
+        x0d, y0d, *_ = ray_args(m, Ad)
+        poses_d = jnp.stack([x0d, y0d, jnp.zeros(Ad)], -1)
+        org = jnp.asarray((m.origin_x, m.origin_y), jnp.float32)
+
+        @jax.jit
+        def dmap_loop(edf, poses):
+            def loss(e, p):
+                r = scan_poses(e, m.resolution, org, p, num_beams=B,
+                               max_iters=256, interp="bilinear",
+                               bounds_hw=(m.height, m.width))
+                return jnp.sum(r)
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                l, g = jax.value_and_grad(loss)(edf, poses + d)
+                return acc + l + jnp.sum(g[:2, :2]), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_D))
+            return acc
+
+        _log("[bench] levine dmap (bilinear march, grad wrt EDF): "
+             "compiling ...")
+        _timed(dmap_loop, m.edf, poses_d)
+        dt = _timed_best(dmap_loop, m.edf, poses_d) / REPS_D
+        results["levine_dmap_fwdbwd"] = Ad * B / dt
+        _log(f"[bench] levine_dmap_fwdbwd rays/s = "
+             f"{results['levine_dmap_fwdbwd']:.3e}")
+    except Exception as e:
+        _log(f"[bench] dmap stage failed: {e!r}")
 
     # closed-loop env steps/s @ 4096 agents (levine, reactive policy)
     bundle = build_sim("levine", scan=ScanParams(num_beams=B))
@@ -231,10 +326,14 @@ def main():
         final, _ = run(s0)
         float(final.x[0])
         t_compile_and_run = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        final, _ = run(s0)
-        float(final.x[0])
-        dt = (time.perf_counter() - t0 - 0.035) / T
+
+        def one_rollout():
+            t0 = time.perf_counter()
+            final, _ = run(s0)
+            float(final.x[0])
+            return max(time.perf_counter() - t0 - 0.035, 1e-9)
+
+        dt = min(one_rollout() for _ in range(3)) / T
         results["env_steps_s_4096"] = A / dt
         extra["rollout_compile_s"] = round(t_compile_and_run, 1)
         _log(f"[bench] env_steps/s = {results['env_steps_s_4096']:.3e}")
@@ -244,8 +343,17 @@ def main():
     for k, v in results.items():
         extra[k] = float(f"{v:.4g}")
 
-    headline = results.get("levine_fwdbwd",
-                           results.get("levine_fwd", 0.0))
+    # headline: the framework's fastest fwd+bwd path on the flagship config
+    # (pallas kernel vs XLA lowering — whichever wins on this hardware)
+    candidates = {k: results[k] for k in ("levine_fwdbwd",
+                                          "levine_pallas_fwdbwd")
+                  if k in results}
+    if candidates:
+        key = max(candidates, key=candidates.get)
+        headline = candidates[key]
+        extra["headline_path"] = key
+    else:
+        headline = results.get("levine_fwd", 0.0)
     print(json.dumps({
         "metric": "rays/s/chip fwd+bwd (1080-beam, 4096 agents, levine)",
         "value": float(f"{headline:.4g}"),

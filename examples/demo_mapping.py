@@ -3,14 +3,16 @@
 The full differentiable chain (ops/soft_edt.py):
 
     occupancy --(chamfer soft-EDT, log init)--> EDF --(bilinear DT
-    march)--> ranges --> MSE vs observed scans --> grad --> occupancy
+    march)--> ranges --> TSDF loss vs observed scans --> grad --> occupancy
 
 A capability with no reference equivalent: the reference simulates scans
 FROM a map; this inverts the sensor to recover the map.
 
-    python examples/demo_mapping.py
+    python examples/demo_mapping.py                 # 96x96 toy room
+    python examples/demo_mapping.py --map levine    # full 1300x1300 track
 """
 
+import argparse
 import os
 import sys
 import time
@@ -20,46 +22,79 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def toy_world():
+    H = W = 96
+    occ = np.zeros((H, W), np.float32)
+    occ[:3, :] = 1; occ[-3:, :] = 1
+    occ[:, :3] = 1; occ[:, -3:] = 1
+    occ[40:52, 60:70] = 1.0
+    occ[20:28, 25:32] = 1.0
+    return occ
+
+
+def builtin_world(name):
+    from pyracecarsimulator_tpu.maps.loader import load_builtin
+    m = load_builtin(name)
+    return np.asarray(m.occupancy)[: m.height, : m.width].astype(np.float32)
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--map", default="toy",
+                    help="'toy' (96x96 room) or a builtin name "
+                         "('levine': full 1300x1300 grid)")
+    ap.add_argument("--poses", type=int, default=0,
+                    help="scan poses (0 = per-map default)")
+    ap.add_argument("--iters", type=int, default=400)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     import optax
     from pyracecarsimulator_tpu.ops.soft_edt import soft_edt
-    from pyracecarsimulator_tpu.ops.raymarch_xla import scan_poses
+    from pyracecarsimulator_tpu.ops.raymarch_xla import (
+        scan_poses, beam_angles, sample_edf_bilinear)
     from pyracecarsimulator_tpu.maps.edt import edt
 
-    # ground-truth world: a room with two blocks (grid units, res=1 cell)
-    H = W = 96
-    occ_true = np.zeros((H, W), np.float32)
-    occ_true[:3, :] = 1; occ_true[-3:, :] = 1
-    occ_true[:, :3] = 1; occ_true[:, -3:] = 1
-    occ_true[40:52, 60:70] = 1.0
-    occ_true[20:28, 25:32] = 1.0
+    # ground truth in GRID UNITS (res = 1 cell); levine's 0.05 m cells
+    # make max_range 10 m = 200 cells
+    if args.map == "toy":
+        occ_true = toy_world()
+        n_poses = args.poses or 24
+        beams, max_range, max_iters = 180, 80.0, 128
+        edt_iters, free_margin = 64, 0.8
+    else:
+        occ_true = builtin_world(args.map)
+        n_poses = args.poses or 256
+        beams, max_range, max_iters = 360, 200.0, 256
+        # big maps: the chamfer EDF only needs to be exact out to the
+        # free-sample margin test, not across the whole hall
+        edt_iters, free_margin = 96, 0.8
+    H, W = occ_true.shape
+    print(f"world {H}x{W}, {n_poses} poses x {beams} beams "
+          f"(backend={jax.default_backend()})")
 
-    # observe scans from a handful of poses with the EXACT pipeline
+    # observe scans from free-space poses with the EXACT pipeline
     edf_true = jnp.asarray(edt(occ_true > 0.5, 1.0))
     rng = np.random.RandomState(0)
+    free_y, free_x = np.where(np.asarray(edf_true) > 4.0)
+    k = rng.randint(len(free_y), size=n_poses)
     poses = jnp.asarray(np.stack([
-        rng.uniform(12, 80, 24), rng.uniform(12, 80, 24),
-        rng.uniform(-np.pi, np.pi, 24)], -1), jnp.float32)
-    # keep only poses in free space
-    ok = np.array([occ_true[int(p[1]), int(p[0])] == 0 for p in poses])
-    poses = poses[np.where(ok)[0]]
+        free_x[k] + 0.5, free_y[k] + 0.5,
+        rng.uniform(-np.pi, np.pi, n_poses)], -1), jnp.float32)
     observed = scan_poses(edf_true, 1.0, jnp.zeros(2), poses,
-                          num_beams=180, fov=2 * np.pi * 0.999,
-                          max_range=80.0, max_iters=128)
+                          num_beams=beams, fov=2 * np.pi * 0.999,
+                          max_range=max_range, max_iters=max_iters)
 
     # reconstruct with a TSDF-style loss on the differentiable EDF:
     # observed hit points must lie ON surfaces (edf -> 0) and sampled
     # points along each beam before the hit must stay FREE (edf large).
     # (A naive MSE on re-simulated ranges saturates: through a transparent
     # initial map every ray clamps at max_range with zero gradient.)
-    from pyracecarsimulator_tpu.ops.raymarch_xla import (
-        beam_angles, sample_edf_bilinear)
-    offs = beam_angles(180, 2 * np.pi * 0.999)
+    offs = beam_angles(beams, 2 * np.pi * 0.999)
     ang = poses[:, 2:3] + offs[None, :]
     ux, uy = jnp.cos(ang), jnp.sin(ang)
-    hit_mask = observed < 79.0
+    hit_mask = observed < max_range * 0.99
     hx = poses[:, 0:1] + observed * ux
     hy = poses[:, 1:2] + observed * uy
     # free samples stop at 0.8*r: samples closer to the hit would demand
@@ -74,12 +109,12 @@ def main():
     @jax.jit
     def loss(logits):
         occ = jax.nn.sigmoid(logits)
-        edf = soft_edt(occ, 1.0, iters=64, temperature=0.25,
+        edf = soft_edt(occ, 1.0, iters=edt_iters, temperature=0.25,
                        init="log", init_lambda=3.0)
         d_hit = sample_edf_bilinear(edf, hx, hy)
         d_free = sample_edf_bilinear(edf, fx, fy)
         hit_term = jnp.mean(jnp.where(hit_mask, d_hit, 0.0) ** 2)
-        free_term = jnp.mean(jax.nn.relu(0.8 - d_free) ** 2)
+        free_term = jnp.mean(jax.nn.relu(free_margin - d_free) ** 2)
         return hit_term + free_term
 
     opt = optax.adam(0.3)
@@ -87,23 +122,30 @@ def main():
     logits = logits0
     grad_fn = jax.jit(jax.value_and_grad(loss))
     t0 = time.time()
-    for i in range(400):
+    for i in range(args.iters):
         l, g = grad_fn(logits)
         upd, state = opt.update(g, state)
         logits = optax.apply_updates(logits, upd)
-        if i % 80 == 0:
-            print(f"iter {i:3d}  tsdf loss {float(l):8.3f}")
+        if i % max(1, args.iters // 5) == 0:
+            print(f"iter {i:3d}  tsdf loss {float(l):8.4f}")
     occ_rec = np.asarray(jax.nn.sigmoid(logits))
     # score on the OBSERVABLE surface: lidar can only see obstacle
-    # boundary cells (not block interiors / outside the outer walls)
+    # boundary cells within range of some pose (not block interiors,
+    # not beyond max_range on big maps)
     from scipy.ndimage import binary_dilation
     true = occ_true > 0.5
     surface = true & binary_dilation(~true)
+    if args.map != "toy":
+        seen = np.zeros_like(true)
+        hxn = np.clip(np.asarray(hx).astype(int), 0, W - 1)
+        hyn = np.clip(np.asarray(hy).astype(int), 0, H - 1)
+        seen[hyn[np.asarray(hit_mask)], hxn[np.asarray(hit_mask)]] = True
+        surface &= binary_dilation(seen, iterations=2)
     pred_near = binary_dilation(occ_rec > 0.5, iterations=1)
-    recall = (pred_near & surface).sum() / surface.sum()
+    recall = (pred_near & surface).sum() / max(surface.sum(), 1)
     print(f"done in {time.time()-t0:.1f}s  surface recall = {recall:.2f} "
-          f"({(pred_near & surface).sum()}/{surface.sum()} boundary cells "
-          f"within 1 cell of a reconstructed obstacle)")
+          f"({(pred_near & surface).sum()}/{surface.sum()} observed "
+          f"boundary cells within 1 cell of a reconstructed obstacle)")
 
 
 if __name__ == "__main__":

@@ -187,7 +187,13 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
                                                 _state_proto())),
         check_vma=False)
 
-    @jax.jit
+    # TPU: compile with the latency-hiding scheduler so the TTC psum and
+    # the transpose-inserted gradient psum overlap backward compute
+    # (parallel/flags.py; no-op dict elsewhere).
+    from .flags import overlap_compiler_options
+    opts = overlap_compiler_options()
+
+    @functools.partial(jax.jit, compiler_options=opts or None)
     def step(state, action, key=None):
         v_des, steer_des = action
         if key is None:

@@ -6,10 +6,14 @@ per-iteration input perturbation (defeats CSE hoisting), one scalar fetch,
 
 Usage: python scripts/bench_pallas.py [levine|berlin] [A]
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+# runnable straight from a checkout: scripts/ is not the package root
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

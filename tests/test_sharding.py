@@ -161,3 +161,22 @@ def test_sharded_step_simplified_backend(bundle, rng):
                                        poses[:, 2]), action, None)
     np.testing.assert_allclose(np.asarray(out_sh.ranges),
                                np.asarray(out_ref.ranges), atol=1e-5)
+
+
+def test_overlap_flags_module():
+    """flags.py contract: empty options off-TPU (TPU names are rejected by
+    other clients), full dict when told the backend is TPU, and the
+    XLA_FLAGS staging path stays idempotent."""
+    import os
+    from pyracecarsimulator_tpu.parallel import flags as fl
+    assert fl.overlap_compiler_options() == {}          # tests run on CPU
+    opts = fl.overlap_compiler_options(backend="tpu")
+    assert opts == dict(fl.OVERLAP_COMPILER_OPTIONS) and opts
+    # backend is initialized in tests -> staging must refuse with a warning
+    import warnings
+    before = os.environ.get("XLA_FLAGS", "")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ok = fl.enable_collective_overlap()
+    assert not ok and any("XLA_FLAGS" in str(x.message) for x in w)
+    assert os.environ.get("XLA_FLAGS", "") == before    # untouched
