@@ -183,9 +183,12 @@ def _rp_fwd_impl(segment_params, sweep_meta, x, y, cos_t, sin_t,
 
 def _kernel_tiled(tids_ref, tmeta_ref, seg_ref, x_ref, y_ref, ct_ref,
                   st_ref, ic_ref, is_ref, bv_ref, bh_ref):
-    # Per-agent program: the BlockSpec index map already routed this
-    # program's tile block (1, K_tile, 4) here via tids; the per-tile
-    # sweep bounds are read from the (T, 3) SMEM table.
+    # Per-list program: the BlockSpec index map already routed this
+    # program's cull-list block (1, K, 4) here via tids; the per-list
+    # sweep bounds are read from the FLATTENED (L*3,) SMEM table — 2D
+    # SMEM operands are lane-padded to 128 ints/row, which blows the 1 MB
+    # SMEM budget at sector-table list counts (measured: (14400, 3) ->
+    # "8388608 would exceed memory 1048576").
     i = pl.program_id(0)
     tid = tids_ref[i]
     x = x_ref[0]
@@ -194,13 +197,43 @@ def _kernel_tiled(tids_ref, tmeta_ref, seg_ref, x_ref, y_ref, ct_ref,
     st = st_ref[0]
     inv_c = ic_ref[0]
     inv_s = is_ref[0]
-    _sweep_rows(seg_ref, 0, tmeta_ref[tid, 0], x, y, inv_c, st,
+    _sweep_rows(seg_ref, 0, tmeta_ref[3 * tid], x, y, inv_c, st,
                 bv_ref.at[0], seg_base=(pl.ds(0, 1),))
-    _sweep_rows(seg_ref, tmeta_ref[tid, 1], tmeta_ref[tid, 2], y, x,
-                inv_s, ct, bh_ref.at[0], seg_base=(pl.ds(0, 1),))
+    _sweep_rows(seg_ref, tmeta_ref[3 * tid + 1], tmeta_ref[3 * tid + 2],
+                y, x, inv_s, ct, bh_ref.at[0], seg_base=(pl.ds(0, 1),))
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_shape", "interpret"))
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _raycast_pallas_ids_raw(ids, meta, lists, x, y, cos_t, sin_t,
+                            inv_c, inv_s, interpret: bool = False):
+    """Ids-routed ray-major Pallas raycast: program i sweeps cull list
+    ``ids[i]`` against its (rows, 128) ray block. ``lists`` is (L, 4, K)
+    [p, lo, hi, isv]; ``meta`` (L, 3) per-list real-segment sweep bounds.
+    Shared by the tile-culled path (one program per agent) and the
+    sector-culled path (one program per (agent, beam-block),
+    raycast_sectors.py). Returns per-orientation minima, unclamped."""
+    n, rows, _ = x.shape
+    seg_rows = lists.transpose(0, 2, 1)       # (L, K, 4): see _kernel note
+    k = seg_rows.shape[1]
+    meta = jnp.ravel(meta)                    # 1D SMEM: see _kernel_tiled
+    ray_spec = pl.BlockSpec((1, rows, LANES), lambda i, ids, tm: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    seg_spec = pl.BlockSpec((1, k, 4), lambda i, ids, tm: (ids[i], 0, 0),
+                            memory_space=pltpu.VMEM)
+    bv, bh = pl.pallas_call(
+        _kernel_tiled,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n,),
+            in_specs=[seg_spec] + [ray_spec] * 6,
+            out_specs=[ray_spec, ray_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((n, rows, LANES), jnp.float32)] * 2,
+        interpret=interpret,
+    )(ids, meta, seg_rows, x, y, cos_t, sin_t, inv_c, inv_s)
+    return bv, bh
+
+
 def _raycast_pallas_tiled_raw(tiles, tile_sweep_meta, tiles_shape,
                               tile_size, tile_origin, x0, y0,
                               x, y, cos_t, sin_t, inv_c, inv_s,
@@ -208,30 +241,14 @@ def _raycast_pallas_tiled_raw(tiles, tile_sweep_meta, tiles_shape,
     """Tile-culled ray-major Pallas raycast. Ray args are (A, R, 128);
     x0/y0 are (A,) agent positions for tile lookup. Returns per-orientation
     minima (best_v, best_h), unclamped."""
-    a_n, rows, _ = x.shape
     nr_t, nc_t = tiles_shape
     tox, toy = tile_origin
     ci = jnp.clip(((x0 - tox) / tile_size).astype(jnp.int32), 0, nc_t - 1)
     ri = jnp.clip(((y0 - toy) / tile_size).astype(jnp.int32), 0, nr_t - 1)
     tids = ri * nc_t + ci                     # (A,) int32
-    seg_rows = tiles.transpose(0, 2, 1)       # (T, K, 4): see _kernel note
-    k = seg_rows.shape[1]
-    ray_spec = pl.BlockSpec((1, rows, LANES), lambda i, tids, tm: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    seg_spec = pl.BlockSpec((1, k, 4), lambda i, tids, tm: (tids[i], 0, 0),
-                            memory_space=pltpu.VMEM)
-    bv, bh = pl.pallas_call(
-        _kernel_tiled,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(a_n,),
-            in_specs=[seg_spec] + [ray_spec] * 6,
-            out_specs=[ray_spec, ray_spec],
-        ),
-        out_shape=[jax.ShapeDtypeStruct((a_n, rows, LANES), jnp.float32)] * 2,
-        interpret=interpret,
-    )(tids, tile_sweep_meta, seg_rows, x, y, cos_t, sin_t, inv_c, inv_s)
-    return bv, bh
+    return _raycast_pallas_ids_raw(tids, tile_sweep_meta, tiles, x, y,
+                                   cos_t, sin_t, inv_c, inv_s,
+                                   interpret=interpret)
 
 
 def _rpt_fwd_impl(tiles, tile_sweep_meta, tiles_shape, tile_size,

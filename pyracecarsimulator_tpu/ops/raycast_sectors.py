@@ -1,0 +1,213 @@
+"""Sector-culled dense segment raycast (XLA sweep + fused Pallas kernel).
+
+Beams are grouped into angle-contiguous blocks of ``bb`` (default 128 =
+one TPU lane register); each block intersects only its (tile, sector)
+cull list from ``maps/sectors.py``. Same exact-boundary semantics as
+``raycast_segments`` (culling is conservative; tests/test_sectors.py).
+
+Two execution paths over the same tables:
+  * XLA dense sweep: beam-minor layout — the (block, segment) intermediate
+    puts BEAMS on lanes and segments on sublanes, so list capacity pads to
+    the 8-sublane quantum instead of the 128-lane quantum. Work per ray is
+    bound by the MAX list length (dense shapes).
+  * Pallas kernel: one program per (agent, beam-block), segment block
+    routed by scalar-prefetched ids (raycast_pallas._kernel_tiled), with
+    per-list dynamic sweep bounds — work per ray is bound by the MEAN real
+    list length, typically several x shorter than the max.
+
+Both carry the analytic O(rays) VJP (raycast_grad._winner_vjp).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .raycast_segments import _ray_invs
+
+_BIG = np.float32(3.0e38)
+_TWO_PI = np.float32(2.0 * np.pi)
+
+
+def _pad_beams(a, b_pad):
+    """Pad the beam axis by edge replication (padded beams keep valid
+    directions; their outputs are sliced off)."""
+    if b_pad == 0:
+        return a
+    return jnp.concatenate(
+        [a, jnp.broadcast_to(a[:, -1:], (a.shape[0], b_pad))], axis=1)
+
+
+def _list_ids(tiles_shape, tile_size, tile_origin, ns, x0, y0, ct, st,
+              bb: int):
+    """(A,) agent positions + (A, B) beam directions -> (A, NBLK) int32
+    rows into the (T*NS, ...) sector table. Block sector is read from one
+    in-block beam within half-a-block of every real beam (maps/sectors.py
+    coverage contract)."""
+    a_n, b_n = ct.shape
+    nblk = -(-b_n // bb)
+    nr, nc = tiles_shape
+    tox, toy = tile_origin
+    ci = jnp.clip(((x0 - tox) / tile_size).astype(jnp.int32), 0, nc - 1)
+    ri = jnp.clip(((y0 - toy) / tile_size).astype(jnp.int32), 0, nr - 1)
+    tid = ri * nc + ci                                     # (A,)
+    mids = np.minimum(np.arange(nblk) * bb + bb // 2, b_n - 1)
+    th = jnp.arctan2(st[:, mids], ct[:, mids])             # (A, NBLK)
+    th = jnp.mod(th, _TWO_PI)
+    sec = jnp.clip((th * (ns / _TWO_PI)).astype(jnp.int32), 0, ns - 1)
+    return tid[:, None] * ns + sec                         # (A, NBLK)
+
+
+def _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c, inv_s,
+               chunk: int):
+    """Beam-minor dense sweep. Ray args are (A, NBLK, BB); ids (A, NBLK).
+    Returns per-orientation minima (best_v, best_h)."""
+    k = table.shape[2]
+    best_v = jnp.full(jnp.shape(x), _BIG)
+    best_h = jnp.full(jnp.shape(x), _BIG)
+    for lo_i, hi_i, vertical in ((0, kv_sec, True), (kv_sec, k, False)):
+        best = best_v if vertical else best_h
+        c0 = lo_i
+        while c0 < hi_i:
+            ck = min(chunk, hi_i - c0)
+            g = jnp.take(table[:, :, c0:c0 + ck], ids, axis=0)
+            # g: (A, NBLK, 4, ck); beam-minor broadcast -> (A, NBLK, ck, BB)
+            p = g[:, :, 0, :, None]
+            lo = g[:, :, 1, :, None]
+            hi = g[:, :, 2, :, None]
+            if vertical:
+                t = (p - x[:, :, None, :]) * inv_c[:, :, None, :]
+                a = y[:, :, None, :] + t * sin_t[:, :, None, :]
+            else:
+                t = (p - y[:, :, None, :]) * inv_s[:, :, None, :]
+                a = x[:, :, None, :] + t * cos_t[:, :, None, :]
+            valid = (t >= 0.0) & ((a - lo) * (hi - a) >= 0.0)
+            best = jnp.minimum(
+                best, jnp.min(jnp.where(valid, t, _BIG), axis=2))
+            c0 += ck
+        if vertical:
+            best_v = best
+        else:
+            best_h = best
+    return best_v, best_h
+
+
+def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
+              x0, y0, x, y, cos_t, sin_t, max_range, bb, chunk,
+              use_pallas, interpret):
+    a_n, b_n = x.shape
+    nblk = -(-b_n // bb)
+    b_pad = nblk * bb - b_n
+    ids = _list_ids(tiles_shape, tile_size, tile_origin, ns, x0, y0,
+                    cos_t, sin_t, bb)
+    inv_c, inv_s = _ray_invs(cos_t, sin_t)
+    args = [_pad_beams(v, b_pad) for v in (x, y, cos_t, sin_t, inv_c,
+                                           inv_s)]
+    if use_pallas:
+        from .raycast_pallas import _raycast_pallas_ids_raw, LANES
+        if bb % LANES:
+            raise ValueError(
+                f"the Pallas sector path needs bb to be a multiple of "
+                f"{LANES} lanes (got bb={bb}); use the XLA path for "
+                "smaller blocks")
+        rows = bb // LANES
+        flat = [v.reshape(a_n * nblk, rows, LANES) for v in args]
+        bv, bh = _raycast_pallas_ids_raw(ids.reshape(-1), meta, table,
+                                         *flat, interpret=interpret)
+        bv = bv.reshape(a_n, nblk * bb)[:, :b_n]
+        bh = bh.reshape(a_n, nblk * bb)[:, :b_n]
+    else:
+        shaped = [v.reshape(a_n, nblk, bb) for v in args]
+        bv, bh = _sweep_xla(table, kv_sec, ids, *shaped, chunk)
+        bv = bv.reshape(a_n, -1)[:, :b_n]
+        bh = bh.reshape(a_n, -1)[:, :b_n]
+    r = jnp.minimum(jnp.minimum(bv, bh), max_range)
+    isv = bv <= bh
+    hit = jnp.minimum(bv, bh) < max_range
+    return r, isv, hit
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 13, 14,
+                                                    15, 16, 17))
+def raycast_sectors(table, meta, tiles_shape, tile_size, tile_origin,
+                    ns, kv_sec, x0, y0, x, y, cos_t, sin_t,
+                    max_range: float = 10.0, bb: int = 128,
+                    chunk: int = 64, use_pallas: bool = False,
+                    interpret: bool = False):
+    """Differentiable sector-culled raycast; rays are (A, B).
+
+    Values match ``raycast_all`` over the same boundary geometry (culling
+    is conservative). ``table``/``meta``/``x0``/``y0`` receive zero
+    cotangents; the VJP is the analytic O(rays) closed form.
+
+    The caller must guarantee that every beam of a ``bb``-block lies
+    within the map's ``block_half`` of the block's lookup beam (checked in
+    ``scan_poses_sectors``, where beam spacing is known).
+    """
+    r, _, _ = _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin,
+                        ns, kv_sec, x0, y0, x, y, cos_t, sin_t, max_range,
+                        bb, chunk, use_pallas, interpret)
+    return r
+
+
+def _rs_fwd(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
+            x0, y0, x, y, cos_t, sin_t, max_range, bb, chunk, use_pallas,
+            interpret):
+    r, isv, hit = _fwd_impl(table, meta, tiles_shape, tile_size,
+                            tile_origin, ns, kv_sec, x0, y0, x, y, cos_t,
+                            sin_t, max_range, bb, chunk, use_pallas,
+                            interpret)
+    return r, (jnp.shape(table), jnp.shape(meta), jnp.shape(x0),
+               r, isv, hit, cos_t, sin_t)
+
+
+def _rs_bwd(tiles_shape, tile_size, tile_origin, ns, kv_sec, max_range,
+            bb, chunk, use_pallas, interpret, res, g):
+    from .raycast_grad import _winner_vjp
+    tshape, mshape, ashape, r, isv, hit, cos_t, sin_t = res
+    gx, gy, gct, gst = _winner_vjp(r, isv, hit, cos_t, sin_t, g)
+    z = jnp.zeros(ashape, jnp.float32)
+    meta_ct = np.zeros(mshape, jax.dtypes.float0)
+    return (jnp.zeros(tshape, jnp.float32), meta_ct, z, z, gx, gy,
+            gct, gst)
+
+
+raycast_sectors.defvjp(_rs_fwd, _rs_bwd)
+
+
+def scan_poses_sectors(smap, poses, num_beams: int = 1080,
+                       fov: float = 4.712388980384690, max_range=10.0,
+                       theta_discretization: int = 0, bb: int = 128,
+                       use_pallas=None, interpret=None) -> jnp.ndarray:
+    """Full lidar scans for poses (..., 3) via the sector backend.
+
+    ``use_pallas=None`` picks the fused kernel on TPU and the XLA sweep
+    elsewhere (the kernel's interpret mode is for parity tests only).
+    """
+    from .common import rays_from_poses, apply_extent_mask
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # coverage contract: every real beam of a block within block_half of
+    # the block's lookup beam (lookup sits <= bb/2 indices from any beam)
+    spacing = fov / max(num_beams - 1, 1)
+    need = (bb // 2) * spacing
+    if need > smap.block_half:
+        raise ValueError(
+            f"beam blocks span +-{need:.3f} rad but the sector map was "
+            f"built for block_half={smap.block_half:.3f}; rebuild the map "
+            "with a larger block_half or use a smaller bb")
+    batch, poses2, xb, yb, ct, st = rays_from_poses(
+        poses, num_beams, fov, theta_discretization)
+    r = raycast_sectors(
+        smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
+        smap.tile_origin, smap.ns, smap.kv_sec, poses2[:, 0], poses2[:, 1],
+        xb, yb, ct, st, max_range, bb, 64, bool(use_pallas),
+        bool(interpret))
+    r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], smap.extent,
+                          max_range)
+    return r.reshape(*batch, num_beams)

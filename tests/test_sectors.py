@@ -1,0 +1,144 @@
+"""Sector-culled raycast backend: parity vs the geometric oracle.
+
+The sector backend (maps/sectors.py + ops/raycast_sectors.py) must be an
+exact acceleration of the `segments` backend: conservative culling, same
+first-intersection values, same analytic VJP.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pyracecarsimulator_tpu.maps.sectors import build_sector_map
+from pyracecarsimulator_tpu.maps.segments import (
+    build_segment_map, extract_segments, raycast_segments_numpy)
+from pyracecarsimulator_tpu.ops.raycast_sectors import (
+    raycast_sectors, scan_poses_sectors)
+from pyracecarsimulator_tpu.ops.raycast_grad import raycast_all_diff
+from pyracecarsimulator_tpu.ops.common import rays_from_poses
+
+FOV = 4.712388980384690
+MAXR = 4.0
+
+
+@pytest.fixture(scope="module")
+def blobby():
+    rng = np.random.RandomState(7)
+    H = W = 220
+    occ = np.zeros((H, W), np.float32)
+    occ[:3, :] = 1; occ[-3:, :] = 1; occ[:, :3] = 1; occ[:, -3:] = 1
+    for _ in range(40):
+        r, c = rng.randint(10, H - 12), rng.randint(10, W - 12)
+        h, w = rng.randint(2, 9, 2)
+        occ[r:r + h, c:c + w] = 1
+    res = 0.05
+    org = (-H * res / 2, -W * res / 2)
+    smap = build_sector_map(occ, res, org, max_range=MAXR, tile_size=1.0,
+                            ns=8, block_half=0.62)
+    segs = extract_segments(occ, res, org)
+    ys, xs = np.where(occ < 0.5)
+    k = rng.randint(len(ys), size=24)
+    px = org[0] + (xs[k] + .5) * res
+    py = org[1] + (ys[k] + .5) * res
+    th = rng.uniform(-np.pi, np.pi, 24)
+    poses = jnp.asarray(np.stack([px, py, th], -1), jnp.float32)
+    return occ, res, org, smap, segs, poses
+
+
+def _oracle(segs, poses, num_beams):
+    _, _, xb, yb, ct, st = rays_from_poses(poses, num_beams, FOV, 0)
+    r = raycast_segments_numpy(
+        segs, np.asarray(xb).ravel(), np.asarray(yb).ravel(),
+        np.asarray(ct).ravel(), np.asarray(st).ravel(), MAXR)
+    return r.reshape(poses.shape[0], num_beams)
+
+
+def test_xla_matches_oracle(blobby):
+    occ, res, org, smap, segs, poses = blobby
+    r = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                           max_range=MAXR, bb=64, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(r), _oracle(segs, poses, 540),
+                               atol=2e-5)
+
+
+def test_pallas_bitexact_vs_xla(blobby):
+    occ, res, org, smap, segs, poses = blobby
+    r_x = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=128, use_pallas=False)
+    r_p = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=128, use_pallas=True,
+                             interpret=True)
+    assert np.array_equal(np.asarray(r_x), np.asarray(r_p))
+
+
+def test_block_size_invariance(blobby):
+    """Culling is conservative for ANY block size within block_half:
+    results must not depend on bb."""
+    occ, res, org, smap, segs, poses = blobby
+    r64 = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=64, use_pallas=False)
+    r128 = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                              max_range=MAXR, bb=128, use_pallas=False)
+    assert np.array_equal(np.asarray(r64), np.asarray(r128))
+
+
+def test_grad_matches_full_set_vjp(blobby):
+    occ, res, org, smap, segs, poses = blobby
+    sm = build_segment_map(occ, res, org, max_range=MAXR)
+    _, _, xb, yb, ct, st = rays_from_poses(poses, 540, FOV, 0)
+
+    def loss_sec(xb_, yb_, ct_, st_):
+        return jnp.sum(raycast_sectors(
+            smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
+            smap.tile_origin, smap.ns, smap.kv_sec, poses[:, 0],
+            poses[:, 1], xb_, yb_, ct_, st_, MAXR, 64, 64, False, False))
+
+    def loss_all(xb_, yb_, ct_, st_):
+        return jnp.sum(raycast_all_diff(sm.params, xb_, yb_, ct_, st_,
+                                        MAXR, 1024, sm.kv))
+
+    g1 = jax.grad(loss_sec, argnums=(0, 1, 2, 3))(xb, yb, ct, st)
+    g2 = jax.grad(loss_all, argnums=(0, 1, 2, 3))(xb, yb, ct, st)
+    for a, b in zip(g1, g2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_block_half_guard(blobby):
+    occ, res, org, smap, segs, poses = blobby
+    with pytest.raises(ValueError, match="block_half"):
+        # 60 beams over the full fov: blocks span far more than 0.62 rad
+        scan_poses_sectors(smap, poses, num_beams=60, fov=FOV,
+                           max_range=MAXR, bb=64, use_pallas=False)
+
+
+def test_meta_is_leaf_table_swap_no_retrace(blobby):
+    """Obstacle-rebuild contract: a sector map rebuilt with the same
+    padded shapes must reuse the compiled scan (CLAUDE.md invariant)."""
+    occ, res, org, _, segs, poses = blobby
+    occ2 = occ.copy()
+    occ2[100:104, 100:104] = 1.0
+    # explicit shared capacity: both maps get identical padded shapes
+    smap = build_sector_map(occ, res, org, max_range=MAXR, tile_size=1.0,
+                            ns=8, block_half=0.62, k_sec=160)
+    smap2 = build_sector_map(occ2, res, org, max_range=MAXR, tile_size=1.0,
+                             ns=8, block_half=0.62, k_sec=160)
+    assert smap2.table.shape == smap.table.shape
+
+    calls = {"n": 0}
+
+    @jax.jit
+    def scan(table, meta, poses):
+        calls["n"] += 1
+        return raycast_sectors(
+            table, meta, smap.tiles_shape, smap.tile_size,
+            smap.tile_origin, smap.ns, smap.kv_sec, poses[:, 0],
+            poses[:, 1], *[jnp.broadcast_to(v, (poses.shape[0], 128))
+                           for v in (poses[:, 0:1], poses[:, 1:2],
+                                     jnp.cos(poses[:, 2:3]),
+                                     jnp.sin(poses[:, 2:3]))],
+            MAXR, 128, 64, False, False)
+
+    scan(smap.table, smap.meta, poses)
+    scan(smap2.table, smap2.meta, poses)
+    assert calls["n"] == 1
