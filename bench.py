@@ -3,15 +3,27 @@
 
 Headline metric: rays/s per chip, forward+backward, 1080-beam scans at 4096
 agents on the levine-class map (the reference's flagship configuration,
-BASELINE.json "metric"/"configs"). ``vs_baseline`` is value / 1e9 — the
-driver-set north-star target of 1e9 rays/s (fwd+bwd) per v5p HOST; ratios
-> 1 on a single v5e chip beat the whole-host target. Secondary numbers ride
-in "extra".
+BASELINE.json "metric"/"configs") — taken from whichever exact-semantics
+path measures fastest (XLA dense / Pallas / sector-culled), with the chosen
+path recorded in ``extra.headline_path``. ``vs_baseline`` is value / 1e9 —
+the driver-set north-star target of 1e9 rays/s (fwd+bwd) per v5p HOST;
+ratios > 1 on a single v5e chip beat the whole-host target.
 
-Tunnel-aware methodology (see .claude/skills/verify/SKILL.md): every timed
-region runs REPS iterations inside one jit program (lax.scan) and fetches a
-single scalar; per-call wall time through the axon tunnel costs ~35 ms and
-would otherwise dominate.
+Timing methodology (round 3; see CLAUDE.md + BASELINE.md):
+  * Every timed region runs REPS iterations inside one jit (lax.scan),
+    perturbing the loop inputs per iteration (i*1e-7) so XLA cannot
+    CSE-hoist the body (the round-1 40x overclaim).
+  * The per-rep time is the DIFFERENCE between one dispatch and three
+    chained dispatches of the SAME executable, each min-of-3:
+        T1 = C + R*t        (C = tunnel fetch + dispatch constant)
+        T3 = C + 3*R*t      (three executions, one fused fetch)
+        t  = (T3 - T1) / (2*R)
+    Round 2 instead divided (T1 - 0.035s) by R with DIFFERENT rep counts
+    for fwd (50) and fwd+bwd (10); the residual constant distorted the
+    small-R number enough that fwd+bwd measured FASTER than fwd (BENCH_r02,
+    physically impossible). The difference estimator cancels C exactly.
+  * Per-stage t1/t3/reps are recorded in ``extra.timing`` so the arithmetic
+    is auditable.
 """
 
 import json
@@ -20,26 +32,52 @@ import time
 
 import numpy as np
 
+FOV = 4.712388980384690
+
 
 def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _timed(fn, *args, overhead=0.035):
-    """Wall-time one host-fetch call, minus tunnel overhead."""
+def _fetch_time(fn, *args):
+    """Wall-time one dispatch + host fetch of a scalar."""
     t0 = time.perf_counter()
     s = float(fn(*args))
-    dt = time.perf_counter() - t0 - overhead
     assert np.isfinite(s)
-    return max(dt, 1e-9)
+    return time.perf_counter() - t0
 
 
-def _timed_best(fn, *args, k=3):
-    """Min of ``k`` timed calls (after the caller's warmup). The axon
-    tunnel adds multi-ms jitter per fetch; a single sample produced the
-    unexplained -24% swings of BENCH_r01 vs BASELINE.md. Min over 3 is
-    the standard latency estimator under one-sided noise."""
-    return min(_timed(fn, *args) for _ in range(k))
+def _fetch_time3(fn, *args):
+    """Wall-time three chained dispatches with ONE fused host fetch."""
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    a = fn(*args)
+    b = fn(*args)
+    c = fn(*args)
+    s = float(a + b + c)
+    assert np.isfinite(s)
+    return time.perf_counter() - t0
+
+
+class Timing:
+    """Collects per-stage timing evidence for the JSON output."""
+
+    def __init__(self):
+        self.records = {}
+
+    def rate(self, key, loop, args, reps, work, k=3):
+        """work units per second for one rep of ``loop`` (see module doc)."""
+        _fetch_time(loop, *args)                      # compile + warm
+        t1 = min(_fetch_time(loop, *args) for _ in range(k))
+        t3 = min(_fetch_time3(loop, *args) for _ in range(k))
+        dt = (t3 - t1) / (2.0 * reps)
+        degenerate = dt <= 0
+        if degenerate:       # jitter swamped the difference; fall back
+            dt = max(t1 / reps, 1e-9)
+        self.records[key] = {
+            "t1_s": round(t1, 4), "t3_s": round(t3, 4), "reps": reps,
+            **({"degenerate": True} if degenerate else {})}
+        return work / dt
 
 
 def main():
@@ -53,10 +91,12 @@ def main():
     from pyracecarsimulator_tpu.config import ScanParams
     from pyracecarsimulator_tpu.maps.loader import load_builtin
     from pyracecarsimulator_tpu.maps.segments import build_segment_map
+    from pyracecarsimulator_tpu.maps.sectors import build_sector_map
     from pyracecarsimulator_tpu.ops.raycast_segments import (
         raycast_all, raycast_tiled)
     from pyracecarsimulator_tpu.ops.raycast_grad import (
         raycast_all_diff, raycast_tiled_diff)
+    from pyracecarsimulator_tpu.ops.raycast_sectors import raycast_sectors
     from pyracecarsimulator_tpu.ops.raymarch_xla import beam_angles
     from pyracecarsimulator_tpu.simulator import build_sim, make_step_fn
     from pyracecarsimulator_tpu.state import state_from_pose
@@ -65,6 +105,7 @@ def main():
 
     A, B = 4096, 1080
     extra = {"device": str(jax.devices()[0]), "agents": A, "beams": B}
+    tm = Timing()
 
     def ray_args(m, a=A):
         edf = np.asarray(m.edf)[: m.height, : m.width]
@@ -74,14 +115,57 @@ def main():
         X = (m.origin_x + (xs[k] + .5) * m.resolution).astype(np.float32)
         Y = (m.origin_y + (ys[k] + .5) * m.resolution).astype(np.float32)
         TH = rng.uniform(-np.pi, np.pi, a).astype(np.float32)
-        offs = np.asarray(beam_angles(B, 4.712388980384690), np.float32)
+        offs = np.asarray(beam_angles(B, FOV), np.float32)
         ANG = TH[:, None] + offs[None, :]
         return (jnp.asarray(X), jnp.asarray(Y),
                 jnp.broadcast_to(jnp.asarray(X)[:, None], (a, B)),
                 jnp.broadcast_to(jnp.asarray(Y)[:, None], (a, B)),
                 jnp.asarray(np.cos(ANG)), jnp.asarray(np.sin(ANG)))
 
+    def fwd_loop_of(once, reps):
+        # NB: each rep perturbs the inputs by i*1e-7 m — otherwise XLA
+        # CSE-hoists the loop-invariant scan out of the rep loop and the
+        # "timing" measures one scan (observed: levine "2e12 rays/s").
+        @jax.jit
+        def loop(xb, yb, ct, st):
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                return acc + jnp.sum(once(xb + d, yb + d, ct, st)), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(reps))
+            return acc
+        return loop
+
+    def fb_loop_of(once, reps):
+        @jax.jit
+        def loop(xb, yb, ct, st):
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                l, g = jax.value_and_grad(
+                    lambda a, b: jnp.sum(once(a, b, ct, st)),
+                    argnums=(0, 1))(xb + d, yb + d)
+                return acc + l + jnp.sum(g[0]), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(reps))
+            return acc
+        return loop
+
     results = {}
+
+    def stage(key, once, args, reps, work, fwdbwd=True):
+        try:
+            _log(f"[bench] {key}: compiling fwd ...")
+            results[f"{key}_fwd"] = tm.rate(
+                f"{key}_fwd", fwd_loop_of(once, reps), args, reps, work)
+            _log(f"[bench] {key}_fwd rays/s = {results[f'{key}_fwd']:.3e}")
+            if fwdbwd:
+                _log(f"[bench] {key}: compiling fwd+bwd ...")
+                results[f"{key}_fwdbwd"] = tm.rate(
+                    f"{key}_fwdbwd", fb_loop_of(once, reps), args, reps,
+                    work)
+                _log(f"[bench] {key}_fwdbwd rays/s = "
+                     f"{results[f'{key}_fwdbwd']:.3e}")
+        except Exception as e:
+            _log(f"[bench] {key} stage failed: {e!r}")
+
     for name in ("levine", "berlin"):
         m = load_builtin(name)
         sm = build_segment_map(
@@ -89,12 +173,15 @@ def main():
             (m.origin_x, m.origin_y), max_range=10.0, tile_size=4.0,
             real_hw=(m.height, m.width))
         x0, y0, xb, yb, ct, st = ray_args(m)
-        use_tiles = sm.tiles is not None and sm.tiles.shape[2] < sm.params.shape[1]
+        use_tiles = (sm.tiles is not None
+                     and sm.tiles.shape[2] < sm.params.shape[1])
+        REPS = 50 if name == "levine" else 20
 
         # *_diff: identical values, analytic O(rays) VJP — the fwd+bwd
         # number reflects the framework's real backward path (XLA autodiff
         # of the raw min-scan is ~10x slower backward).
-        def fwd_once(xb, yb, ct, st):
+        def fwd_once(xb, yb, ct, st, sm=sm, x0=x0, y0=y0,
+                     use_tiles=use_tiles):
             if use_tiles:
                 return raycast_tiled_diff(
                     sm.tiles, sm.tiles_shape, sm.tile_size, sm.tile_origin,
@@ -102,98 +189,59 @@ def main():
             return raycast_all_diff(sm.params, xb, yb, ct, st, 10.0,
                                     1024, sm.kv)
 
-        REPS_F = 50 if name == "levine" else 20
-        REPS_B = 10  # the remote compile helper is flaky on long grad loops
-
-        # NB: each rep perturbs the inputs by i*1e-7 m — otherwise XLA
-        # CSE-hoists the loop-invariant scan out of the rep loop and the
-        # "timing" measures one scan (observed: levine "2e12 rays/s").
-        @jax.jit
-        def fwd_loop(xb, yb, ct, st):
-            def rep(acc, i):
-                d = i.astype(jnp.float32) * 1e-7
-                return acc + jnp.sum(fwd_once(xb + d, yb + d, ct, st)), None
-            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_F))
-            return acc
-
-        @jax.jit
-        def fwdbwd_loop(xb, yb, ct, st):
-            def loss(xb, yb):
-                return jnp.sum(fwd_once(xb, yb, ct, st))
-            def rep(acc, i):
-                d = i.astype(jnp.float32) * 1e-7
-                l, g = jax.value_and_grad(loss, argnums=(0, 1))(xb + d,
-                                                                yb + d)
-                return acc + l + jnp.sum(g[0][0]), None
-            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_B))
-            return acc
+        stage(name, fwd_once, (xb, yb, ct, st), REPS, A * B)
 
         # the fused Pallas kernels over the SAME geometry (the hand-written
         # TPU path, ops/raycast_pallas.py; tiled on culling maps)
         from pyracecarsimulator_tpu.ops.raycast_pallas import (
             raycast_pallas, raycast_pallas_tiled)
         if use_tiles:
-            def pal_once(xb, yb, ct, st):
+            def pal_once(xb, yb, ct, st, sm=sm, x0=x0, y0=y0):
                 return raycast_pallas_tiled(
                     sm.tiles, sm.tile_sweep_meta, sm.tiles_shape,
                     sm.tile_size, sm.tile_origin, x0, y0, xb, yb, ct, st,
                     10.0, False)
         else:
-            def pal_once(xb, yb, ct, st):
+            def pal_once(xb, yb, ct, st, sm=sm):
                 return raycast_pallas(sm.params, sm.sweep_meta, xb, yb,
                                       ct, st, 10.0, False)
+        stage(f"{name}_pallas", pal_once, (xb, yb, ct, st), REPS, A * B)
 
-        def make_loops(once):
-            @jax.jit
-            def f_loop(xb, yb, ct, st):
-                def rep(acc, i):
-                    d = i.astype(jnp.float32) * 1e-7
-                    return acc + jnp.sum(once(xb + d, yb + d, ct, st)), None
-                acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_F))
-                return acc
-
-            @jax.jit
-            def fb_loop(xb, yb, ct, st):
-                def rep(acc, i):
-                    d = i.astype(jnp.float32) * 1e-7
-                    l, g = jax.value_and_grad(
-                        lambda a, b: jnp.sum(once(a, b, ct, st)),
-                        argnums=(0, 1))(xb + d, yb + d)
-                    return acc + l + jnp.sum(g[0]), None
-                acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(REPS_B))
-                return acc
-            return f_loop, fb_loop
-
+        # sector-culled backend (round 3): per-(tile, angular-sector) cull
+        # lists, XLA dense sweep (measured faster than routing the lists
+        # through the Pallas kernel: 128-beam programs are too small).
+        # x0/y0 are perturbed per rep too, so the per-block table-row
+        # gather cannot be hoisted out of the rep loop.
         try:
-            _log(f"[bench] {name}: compiling fwd ...")
-            _timed(fwd_loop, xb, yb, ct, st)     # warm + compile
-            dt = _timed_best(fwd_loop, xb, yb, ct, st) / REPS_F
-            results[f"{name}_fwd"] = A * B / dt
-            _log(f"[bench] {name}_fwd rays/s = {results[f'{name}_fwd']:.3e}")
-            _log(f"[bench] {name}: compiling fwd+bwd ...")
-            _timed(fwdbwd_loop, xb, yb, ct, st)
-            dt = _timed_best(fwdbwd_loop, xb, yb, ct, st) / REPS_B
-            results[f"{name}_fwdbwd"] = A * B / dt
-            _log(f"[bench] {name}_fwdbwd rays/s = "
-                 f"{results[f'{name}_fwdbwd']:.3e}")
+            t0 = time.time()
+            smap = build_sector_map(
+                np.asarray(m.occupancy), m.resolution,
+                (m.origin_x, m.origin_y), max_range=10.0, tile_size=2.0,
+                ns=16, real_hw=(m.height, m.width))
+            extra[f"{name}_sector_build_s"] = round(time.time() - t0, 2)
+            extra[f"{name}_sector_table_mb"] = round(
+                np.asarray(smap.table).nbytes / 1e6, 1)
+
+            def sec_once(xb, yb, ct, st, smap=smap, x0=x0, y0=y0):
+                d = xb[0, 0] - x0[0]        # the rep perturbation, (scalar)
+                return raycast_sectors(
+                    smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
+                    smap.tile_origin, smap.ns, smap.kv_sec, x0 + d, y0 + d,
+                    xb, yb, ct, st, 10.0, 128, 64, False, False)
+            stage(f"{name}_sector", sec_once, (xb, yb, ct, st), REPS, A * B)
+
+            # hardware parity gate: sector == dense exact on this batch
+            @jax.jit
+            def parity():
+                r_s = sec_once(xb, yb, ct, st)
+                r_d = fwd_once(xb, yb, ct, st)
+                return jnp.max(jnp.abs(r_s - r_d))
+            extra[f"{name}_sector_parity_maxabs"] = float(parity())
+            _log(f"[bench] {name}_sector parity max|d| = "
+                 f"{extra[f'{name}_sector_parity_maxabs']:.2e}")
         except Exception as e:
-            _log(f"[bench] {name} stage failed: {e!r}")
-        try:
-            pf_loop, pfb_loop = make_loops(pal_once)
-            _log(f"[bench] {name}: compiling pallas fwd ...")
-            _timed(pf_loop, xb, yb, ct, st)
-            dt = _timed_best(pf_loop, xb, yb, ct, st) / REPS_F
-            results[f"{name}_pallas_fwd"] = A * B / dt
-            _log(f"[bench] {name}_pallas_fwd rays/s = "
-                 f"{results[f'{name}_pallas_fwd']:.3e}")
-            _log(f"[bench] {name}: compiling pallas fwd+bwd ...")
-            _timed(pfb_loop, xb, yb, ct, st)
-            dt = _timed_best(pfb_loop, xb, yb, ct, st) / REPS_B
-            results[f"{name}_pallas_fwdbwd"] = A * B / dt
-            _log(f"[bench] {name}_pallas_fwdbwd rays/s = "
-                 f"{results[f'{name}_pallas_fwdbwd']:.3e}")
-        except Exception as e:
-            _log(f"[bench] {name} pallas stage failed: {e!r}")
+            _log(f"[bench] {name} sector stage failed: {e!r}")
+
         extra[f"{name}_segments"] = int(sm.n_segments)
 
     # 1024-agent forward-only config (BASELINE.json configs[1])
@@ -203,21 +251,15 @@ def main():
             np.asarray(m.occupancy), m.resolution,
             (m.origin_x, m.origin_y), max_range=10.0, tile_size=4.0,
             real_hw=(m.height, m.width))
-        x0s, y0s, xbs, ybs, cts, sts = ray_args(m, 1024)
+        _, _, xbs, ybs, cts, sts = ray_args(m, 1024)
 
-        @jax.jit
-        def loop1024(xb, yb, ct, st):
-            def rep(acc, i):
-                d = i.astype(jnp.float32) * 1e-7
-                r = raycast_all(sm1.params, xb + d, yb + d, ct, st, 10.0,
-                                1024, sm1.kv)
-                return acc + jnp.sum(r), None
-            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(20))
-            return acc
-
-        _timed(loop1024, xbs, ybs, cts, sts)
-        dt = _timed_best(loop1024, xbs, ybs, cts, sts) / 20
-        results["levine_1024_fwd"] = 1024 * B / dt
+        def once1024(xb, yb, ct, st):
+            return raycast_all(sm1.params, xb, yb, ct, st, 10.0,
+                               1024, sm1.kv)
+        _log("[bench] levine_1024: compiling ...")
+        results["levine_1024_fwd"] = tm.rate(
+            "levine_1024_fwd", fwd_loop_of(once1024, 20),
+            (xbs, ybs, cts, sts), 20, 1024 * B)
         _log(f"[bench] levine_1024_fwd rays/s = "
              f"{results['levine_1024_fwd']:.3e}")
     except Exception as e:
@@ -236,49 +278,18 @@ def main():
             tile_size=4.0, real_hw=(m.height, m.width))
         x0, y0, xb, yb, ct, st = ray_args(m)
 
-        @jax.jit
-        def gen_loop(xb, yb, ct, st):
-            def rep(acc, i):
-                d = i.astype(jnp.float32) * 1e-7
-                r = raycast_general_tiled(
-                    gm.tiles, gm.tiles_shape, gm.tile_size, gm.tile_origin,
-                    x0, y0, xb + d, yb + d, ct, st, 10.0)
-                return acc + jnp.sum(r), None
-            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(20))
-            return acc
-
-        _log("[bench] berlin simplified: compiling ...")
-        _timed(gen_loop, xb, yb, ct, st)
-        dt = _timed_best(gen_loop, xb, yb, ct, st) / 20
-        results["berlin_simplified_fwd"] = A * B / dt
+        def gen_once(xb, yb, ct, st):
+            return raycast_general_tiled(
+                gm.tiles, gm.tiles_shape, gm.tile_size, gm.tile_origin,
+                x0, y0, xb, yb, ct, st, 10.0)
         extra["berlin_gsegments"] = int(gm.n_segments)
-        _log(f"[bench] berlin_simplified_fwd rays/s = "
-             f"{results['berlin_simplified_fwd']:.3e}")
-
-        @jax.jit
-        def gen_fb_loop(xb, yb, ct, st):
-            def rep(acc, i):
-                d = i.astype(jnp.float32) * 1e-7
-                l, g = jax.value_and_grad(
-                    lambda a, b: jnp.sum(raycast_general_tiled(
-                        gm.tiles, gm.tiles_shape, gm.tile_size,
-                        gm.tile_origin, x0, y0, a, b, ct, st, 10.0)))(
-                            xb + d, yb + d)
-                return acc + l + jnp.sum(g[0][0]), None
-            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(8))
-            return acc
-
-        _timed(gen_fb_loop, xb, yb, ct, st)
-        dt = _timed_best(gen_fb_loop, xb, yb, ct, st) / 8
-        results["berlin_simplified_fwdbwd"] = A * B / dt
-        _log(f"[bench] berlin_simplified_fwdbwd rays/s = "
-             f"{results['berlin_simplified_fwdbwd']:.3e}")
+        stage("berlin_simplified", gen_once, (xb, yb, ct, st), 20, A * B)
     except Exception as e:
         _log(f"[bench] simplified stage failed: {e!r}")
 
     # differentiable-map path: bilinear DT march, cotangent INTO THE MAP
     # (BASELINE.json configs[2] "∂range/∂map backward"). 512 agents — the
-    # march is gather-bound (CLAUDE.md), this stage records that honestly.
+    # march is gather-bound (CLAUDE.md); this stage records that honestly.
     try:
         from pyracecarsimulator_tpu.ops.raymarch_xla import scan_poses
         m = load_builtin("levine")
@@ -303,50 +314,69 @@ def main():
 
         _log("[bench] levine dmap (bilinear march, grad wrt EDF): "
              "compiling ...")
-        _timed(dmap_loop, m.edf, poses_d)
-        dt = _timed_best(dmap_loop, m.edf, poses_d) / REPS_D
-        results["levine_dmap_fwdbwd"] = Ad * B / dt
+        results["levine_dmap_fwdbwd"] = tm.rate(
+            "levine_dmap_fwdbwd", dmap_loop, (m.edf, poses_d), REPS_D,
+            Ad * B)
         _log(f"[bench] levine_dmap_fwdbwd rays/s = "
              f"{results['levine_dmap_fwdbwd']:.3e}")
     except Exception as e:
         _log(f"[bench] dmap stage failed: {e!r}")
 
-    # closed-loop env steps/s @ 4096 agents (levine, reactive policy)
-    bundle = build_sim("levine", scan=ScanParams(num_beams=B))
-    step = make_step_fn(bundle, backend="segments", with_noise=False)
-    m = bundle.track
+    # closed-loop env steps/s @ 4096 agents (levine, reactive policy):
+    # once on the round-2 dense backend (continuity) and once on the
+    # round-3 flagship sector backend.
+    m = load_builtin("levine")
     x0, y0, *_ = ray_args(m)
     s0 = state_from_pose(x0, y0, jnp.zeros(A))
-    policy = make_gap_follower_policy(B, 4.712388980384690, speed=3.0)
+    policy = make_gap_follower_policy(B, FOV, speed=3.0)
     T = 25
-    try:
-        _log("[bench] compiling closed-loop rollout ...")
-        run = make_rollout_fn(step, policy, T, B)
-        t0 = time.perf_counter()
-        final, _ = run(s0)
-        float(final.x[0])
-        t_compile_and_run = time.perf_counter() - t0
-
-        def one_rollout():
+    for backend, rkey in (("segments", "env_steps_s_4096"),
+                          ("sectors", "env_steps_s_4096_sectors")):
+        try:
+            _log(f"[bench] compiling closed-loop rollout ({backend}) ...")
+            bundle = build_sim("levine", scan=ScanParams(num_beams=B),
+                               backend=backend)
+            step = make_step_fn(bundle, with_noise=False)
+            run = make_rollout_fn(step, policy, T, B)
             t0 = time.perf_counter()
             final, _ = run(s0)
             float(final.x[0])
-            return max(time.perf_counter() - t0 - 0.035, 1e-9)
+            extra[f"rollout_compile_s_{backend}"] = round(
+                time.perf_counter() - t0, 1)
 
-        dt = min(one_rollout() for _ in range(3)) / T
-        results["env_steps_s_4096"] = A / dt
-        extra["rollout_compile_s"] = round(t_compile_and_run, 1)
-        _log(f"[bench] env_steps/s = {results['env_steps_s_4096']:.3e}")
-    except Exception as e:
-        _log(f"[bench] rollout stage failed: {e!r}")
+            def one():
+                t0 = time.perf_counter()
+                final, _ = run(s0)
+                float(final.x[0])
+                return time.perf_counter() - t0
+
+            def three():
+                t0 = time.perf_counter()
+                f1, _ = run(s0)
+                f2, _ = run(s0)
+                f3, _ = run(s0)
+                float(f1.x[0] + f2.x[0] + f3.x[0])
+                return time.perf_counter() - t0
+
+            t1 = min(one() for _ in range(3))
+            t3 = min(three() for _ in range(3))
+            dt = max((t3 - t1) / 2.0, 1e-9) / T
+            tm.records[rkey] = {"t1_s": round(t1, 4), "t3_s": round(t3, 4),
+                                "reps": T}
+            results[rkey] = A / dt
+            _log(f"[bench] {rkey} = {results[rkey]:.3e}")
+        except Exception as e:
+            _log(f"[bench] rollout stage ({backend}) failed: {e!r}")
 
     for k, v in results.items():
         extra[k] = float(f"{v:.4g}")
+    extra["timing"] = tm.records
 
-    # headline: the framework's fastest fwd+bwd path on the flagship config
-    # (pallas kernel vs XLA lowering — whichever wins on this hardware)
+    # headline: the framework's fastest exact-semantics fwd+bwd path on the
+    # flagship config (XLA dense vs Pallas kernel vs sector-culled sweep)
     candidates = {k: results[k] for k in ("levine_fwdbwd",
-                                          "levine_pallas_fwdbwd")
+                                          "levine_pallas_fwdbwd",
+                                          "levine_sector_fwdbwd")
                   if k in results}
     if candidates:
         key = max(candidates, key=candidates.get)

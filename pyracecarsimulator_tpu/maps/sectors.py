@@ -109,7 +109,8 @@ def build_sector_map(occupancy: np.ndarray, resolution: float,
                      origin_xy=(0.0, 0.0), occupied_thresh: float = 0.5,
                      max_range: float = 10.0, tile_size: float = 2.0,
                      ns: int = 16, block_half: float = 0.285,
-                     k_sec: int = 0, real_hw=None) -> SectorSegmentMap:
+                     k_sec: int = 0, kvh=None, headroom: int = 0,
+                     real_hw=None) -> SectorSegmentMap:
     """Compile the occupancy boundary into per-(tile, sector) cull lists.
 
     Args:
@@ -122,6 +123,14 @@ def build_sector_map(occupancy: np.ndarray, resolution: float,
         270 deg scan (half-width 0.277) with margin.
       k_sec: optional per-orientation capacity override (obstacle-rebuild
         shape stability, cf. segments.build_segment_map k_tile). 0 = auto.
+      kvh: optional exact (kv_sec, kh_sec) capacity pair — the obstacle
+        add/clear path passes the PREVIOUS map's split so the rebuilt table
+        keeps identical leaf shapes (no retrace; simulator._swap_or_rebuild).
+        Overrides k_sec. Each entry must be a sublane multiple.
+      headroom: extra per-orientation capacity on top of the auto-sized
+        need. Capacity is paid DENSELY by the XLA sweep, so the default is
+        tight (benchmarks); the interactive facade passes 8 so small
+        obstacle additions keep the padded shapes (no retrace).
     """
     segs = extract_segments(occupancy, resolution, origin_xy,
                             occupied_thresh)
@@ -139,68 +148,86 @@ def build_sector_map(occupancy: np.ndarray, resolution: float,
     wsec = 2.0 * np.pi / ns
 
     ax, ay, bx, by = _seg_endpoints(segs)
-    sec_starts = np.arange(ns) * wsec
+    sec_starts = (np.arange(ns) * wsec).astype(np.float32)
 
-    lists_v, lists_h = [], []
-    kv_need = kh_need = 0
-    for r in range(nr):
-        for c in range(nc):
-            cx = ox + (c + 0.5) * tile_size
-            cy = oy + (r + 0.5) * tile_size
-            d = _seg_point_distance(segs, cx, cy)
-            near = d <= reach
-            th1 = np.arctan2(ay - cy, ax - cx)
-            th2 = np.arctan2(by - cy, bx - cx)
-            # short-way arc between endpoint directions (width < pi: the
-            # segment lies on one side of any external viewpoint)
-            diff = np.mod(th2 - th1, 2.0 * np.pi)
-            flip = diff > np.pi
-            arc_lo = np.where(flip, th2, th1)
-            width = np.where(flip, 2.0 * np.pi - diff, diff)
-            par = np.arcsin(np.minimum(1.0, rt / np.maximum(d, 1e-9)))
-            pad = par + block_half + 1e-3
-            full = (d <= rt) | (width + 2.0 * pad >= 2.0 * np.pi - wsec)
-            lo_pad = arc_lo - pad
-            span = width + 2.0 * pad
-            # sector s = [s*wsec, (s+1)*wsec) intersects the padded arc iff
-            # its start lands inside the arc (mod 2pi) or within wsec before
-            rel = np.mod(sec_starts[None, :] - lo_pad[:, None], 2.0 * np.pi)
-            memb = ((rel <= span[:, None]) | (rel >= 2.0 * np.pi - wsec)
-                    | full[:, None]) & near[:, None]
-            for s in range(ns):
-                sub = segs[memb[:, s]]
-                v = sub[sub[:, 3] > 0.5]
-                hseg = sub[sub[:, 3] <= 0.5]
-                lists_v.append(v)
-                lists_h.append(hseg)
-                kv_need = max(kv_need, len(v))
-                kh_need = max(kh_need, len(hseg))
+    # Fully vectorized membership over (tiles, segments): the round-2
+    # per-tile Python loop took 147 s on berlin-class maps (1024 tiles x
+    # 4442 segs) — unusable for the obstacle add/clear rebuild path. The
+    # same geometry broadcasts to (T, K) arrays in ~1 s.
+    k_n = len(segs)
+    tnl = nr * nc * ns
+    # float32 throughout: halves the (T, K) working set; the 1e-3 rad
+    # safety epsilon in ``pad`` dwarfs f32 rounding, so the conservative
+    # cover is preserved.
+    f32 = lambda a: np.asarray(a, np.float32)
+    ax, ay, bx, by = f32(ax), f32(ay), f32(bx), f32(by)
+    cxs = f32(ox + (np.tile(np.arange(nc), nr) + 0.5) * tile_size)   # (T,)
+    cys = f32(oy + (np.repeat(np.arange(nr), nc) + 0.5) * tile_size)
+    p, slo, shi = f32(segs[:, 0]), f32(segs[:, 1]), f32(segs[:, 2])
+    isv = segs[:, 3] > 0.5
+    along = np.where(isv[None, :], cys[:, None], cxs[:, None])  # (T, K)
+    perp = np.where(isv[None, :], cxs[:, None], cys[:, None])
+    d_along = np.maximum(
+        np.maximum(slo[None, :] - along, along - shi[None, :]), 0.0)
+    d = np.hypot(d_along, np.abs(perp - p[None, :]))
+    near = d <= reach
+    th1 = np.arctan2(ay[None, :] - cys[:, None], ax[None, :] - cxs[:, None])
+    th2 = np.arctan2(by[None, :] - cys[:, None], bx[None, :] - cxs[:, None])
+    # short-way arc between endpoint directions (width < pi: the segment
+    # lies on one side of any external viewpoint)
+    diff = np.mod(th2 - th1, 2.0 * np.pi)
+    flip = diff > np.pi
+    arc_lo = np.where(flip, th2, th1)
+    width = np.where(flip, 2.0 * np.pi - diff, diff)
+    par = np.arcsin(np.minimum(1.0, rt / np.maximum(d, 1e-9)))
+    pad = par + block_half + 1e-3
+    full = (d <= rt) | (width + 2.0 * pad >= 2.0 * np.pi - wsec)
+    lo_pad = arc_lo - pad
+    span = width + 2.0 * pad
+    # sector s = [s*wsec, (s+1)*wsec) intersects the padded arc iff its
+    # start lands inside the arc (mod 2pi) or within wsec before it.
+    # Looping s keeps peak memory at O(T*K) instead of O(T*K*NS) floats.
+    memb = np.empty((ns, nr * nc, k_n), bool)
+    for s in range(ns):
+        rel = np.mod(sec_starts[s] - lo_pad, 2.0 * np.pi)
+        memb[s] = ((rel <= span) | (rel >= 2.0 * np.pi - wsec) | full) & near
+    memb_flat = memb.transpose(1, 0, 2).reshape(tnl, k_n)       # (T*NS, K)
+    counts_v = (memb_flat & isv[None, :]).sum(axis=1)
+    counts_h = (memb_flat & ~isv[None, :]).sum(axis=1)
 
-    kv_sec = _align(k_sec // 2 if k_sec > 0 else kv_need)
-    kh_sec = _align(k_sec - k_sec // 2 if k_sec > 0 else kh_need)
+    if kvh is not None:
+        kv_sec, kh_sec = int(kvh[0]), int(kvh[1])
+        if kv_sec % _SUB or kh_sec % _SUB:
+            raise ValueError(f"kvh entries must be multiples of {_SUB}")
+    else:
+        kv_sec = _align(k_sec // 2 if k_sec > 0
+                        else int(counts_v.max()) + headroom)
+        kh_sec = _align(k_sec - k_sec // 2 if k_sec > 0
+                        else int(counts_h.max()) + headroom)
 
-    def _pad_group(group, kp, isv):
-        if len(group) > kp:
-            raise ValueError(
-                f"k_sec too small: a (tile, sector) list needs {len(group)} "
-                f"{'V' if isv else 'H'} segments but the block holds {kp}; "
-                "raise k_sec or leave it 0 (auto) - silent truncation would "
-                "punch invisible holes in walls")
-        blk = np.zeros((kp, 4), np.float64)
-        blk[:, 0] = _FAR          # never-hit sentinel (segments.pad_segments)
-        blk[:, 1] = 1.0
-        blk[:, 2] = -1.0
-        blk[:, 3] = 1.0 if isv else 0.0
-        blk[: len(group)] = group
-        return blk
-
-    tnl = len(lists_v)
     table = np.zeros((tnl, kv_sec + kh_sec, 4), np.float32)
-    meta = np.zeros((tnl, 3), np.int32)
-    for i, (v, hseg) in enumerate(zip(lists_v, lists_h)):
-        table[i, :kv_sec] = _pad_group(v, kv_sec, True)
-        table[i, kv_sec:] = _pad_group(hseg, kh_sec, False)
-        meta[i] = (len(v), kv_sec, kv_sec + len(hseg))
+    table[:, :, 0] = _FAR     # never-hit sentinel (segments.pad_segments)
+    table[:, :, 1] = 1.0
+    table[:, :, 2] = -1.0
+    table[:, :kv_sec, 3] = 1.0
+    for want_v, base, kp, counts in ((True, 0, kv_sec, counts_v),
+                                     (False, kv_sec, kh_sec, counts_h)):
+        if counts.max() > kp:
+            raise ValueError(
+                f"k_sec too small: a (tile, sector) list needs "
+                f"{int(counts.max())} {'V' if want_v else 'H'} segments but "
+                f"the block holds {kp}; raise k_sec or leave it 0 (auto) - "
+                "silent truncation would punch invisible holes in walls")
+        mo = memb_flat & (isv if want_v else ~isv)[None, :]
+        # nonzero is row-major: entries of one list are consecutive and in
+        # segs order, so the in-list slot is a per-group arange (a full-rank
+        # cumsum over (T*NS, K) took 15 s of the build; this is O(entries))
+        lid, kk = np.nonzero(mo)
+        starts = np.zeros(tnl, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        table[lid, base + (np.arange(len(lid)) - starts[lid])] = segs[kk]
+    meta = np.stack([counts_v, np.full(tnl, kv_sec, counts_v.dtype),
+                     kv_sec + counts_h], axis=1).astype(np.int32)
 
     # contiguous f32 on host BEFORE the device put: a (T*NS, K, 4) f64
     # transpose costs a 2x transfer + device-side convert over the tunnel

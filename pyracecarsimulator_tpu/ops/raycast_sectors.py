@@ -180,21 +180,29 @@ raycast_sectors.defvjp(_rs_fwd, _rs_bwd)
 
 def scan_poses_sectors(smap, poses, num_beams: int = 1080,
                        fov: float = 4.712388980384690, max_range=10.0,
-                       theta_discretization: int = 0, bb: int = 128,
+                       theta_discretization: int = 0, bb=None,
                        use_pallas=None, interpret=None) -> jnp.ndarray:
     """Full lidar scans for poses (..., 3) via the sector backend.
 
-    ``use_pallas=None`` picks the fused kernel on TPU and the XLA sweep
-    elsewhere (the kernel's interpret mode is for parity tests only).
+    ``use_pallas=None`` picks the XLA dense sweep everywhere — measured on
+    TPU v5e (round 3, scripts/bench_sectors.py): berlin 4096x1080 sector
+    XLA 1.82e8 rays/s fwd vs sector Pallas 4.3e7 (with bb=128 each kernel
+    program owns a single (1, 128) ray block and a ~109-segment mean list,
+    so program/DMA overhead dominates; the batched XLA sweep amortizes it).
+    The Pallas route stays available for A/B and parity testing.
     """
     from .common import rays_from_poses, apply_extent_mask
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = False
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # coverage contract: every real beam of a block within block_half of
     # the block's lookup beam (lookup sits <= bb/2 indices from any beam)
     spacing = fov / max(num_beams - 1, 1)
+    if bb is None:
+        # widest block the map's block_half supports, capped at one lane
+        # register (128 = the flagship 1080-beam/270 deg block size)
+        bb = max(1, min(128, 2 * int(smap.block_half / spacing)))
     need = (bb // 2) * spacing
     if need > smap.block_half:
         raise ValueError(

@@ -32,13 +32,17 @@ from .models.ttc import ttc_tables, check_ttc
 from .maps.loader import TrackMap, load_builtin, add_obstacle as _add_obs
 from .maps.segments import SegmentMap, build_segment_map
 from .maps.contours import build_general_segment_map
+from .maps.sectors import SectorSegmentMap, build_sector_map
 from .ops.raymarch_xla import scan_poses as _scan_edf
 from .ops.raycast_segments import scan_poses_segments as _scan_segments
 from .ops.raycast_pallas import scan_poses_pallas as _scan_pallas
+from .ops.raycast_sectors import scan_poses_sectors as _scan_sectors
 from .ops.noise import add_scan_noise
 
 # backends whose map object is a compiled segment table (vs the EDF track)
-_SEGMENT_BACKENDS = ("segments", "segments_simplified", "segments_pallas")
+_SEGMENT_BACKENDS = ("segments", "segments_simplified", "segments_pallas",
+                     "sectors")
+
 
 
 class StepOutput(NamedTuple):
@@ -57,50 +61,80 @@ class SimBundle(NamedTuple):
     car: CarParams
     scan: ScanParams
     sim: SimParams
+    backend: str = "segments"   # resolved backend ("auto" never stored)
 
 
 def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
               sim: SimParams = None, backend: str = "segments",
-              tile_size: float = 4.0) -> SimBundle:
+              tile_size: Optional[float] = None,
+              sector_ns: int = 16, sector_headroom: int = 0) -> SimBundle:
     """Load/accept a map and precompute everything the step needs.
 
-    backend: "segments" (dense geometry, exact-boundary semantics),
-    "segments_pallas" (same geometry through the fused Pallas kernels —
-    fastest on TPU hardware), "segments_simplified" (contour-simplified
-    geometry: ~1-cell tolerance, fastest on curvy maps), "edf"
-    (reference-exact DT march), "edf_bilinear" (smooth DT march for map
-    gradients).
+    backend: "sectors" (per-(tile, angular-sector) culled exact-boundary
+    geometry — measured-fastest exact path on TPU on BOTH bundled maps,
+    scripts/bench_sectors.py round 3), "auto" (alias for "sectors"),
+    "segments" (dense exact geometry, no angular culling),
+    "segments_pallas" (dense geometry through the fused Pallas kernels),
+    "segments_simplified" (contour-simplified geometry: ~1-cell
+    tolerance), "edf" (reference-exact DT march), "edf_bilinear"
+    (smooth DT march for map gradients).
+
+    tile_size: culling tile edge in meters; None = per-backend default
+    (4.0 for the tiled dense sweeps, 2.0 for the sector backend whose
+    parallax pad shrinks with the tile).
     """
     track = (load_builtin(track_or_name)
              if isinstance(track_or_name, str) else track_or_name)
     car = car or CarParams()
     scan = scan or ScanParams()
     sim = sim or SimParams()
+    if backend == "auto":
+        # measured round 3 (TPU v5e, 4096x1080): the sector-culled XLA
+        # sweep is the fastest exact path on both bundled maps — levine
+        # 1.06e9 rays/s fwd (vs 6.6e8 dense pallas), berlin 1.8e8 (vs
+        # 7.1e7 tiled XLA / 4.2e7 tiled pallas)
+        backend = "sectors"
     segmap = None
     if backend in ("segments", "segments_pallas"):
         segmap = build_segment_map(
             np.asarray(track.occupancy), track.resolution,
             (track.origin_x, track.origin_y),
-            max_range=float(scan.max_range), tile_size=tile_size,
+            max_range=float(scan.max_range),
+            tile_size=tile_size if tile_size is not None else 4.0,
             real_hw=(track.height, track.width))
     elif backend == "segments_simplified":
         segmap = build_general_segment_map(
             np.asarray(track.occupancy), track.resolution,
             (track.origin_x, track.origin_y),
-            max_range=float(scan.max_range), tile_size=tile_size,
+            max_range=float(scan.max_range),
+            tile_size=tile_size if tile_size is not None else 4.0,
             real_hw=(track.height, track.width))
-    return SimBundle(track=track, segmap=segmap, car=car, scan=scan, sim=sim)
+    elif backend == "sectors":
+        segmap = build_sector_map(
+            np.asarray(track.occupancy), track.resolution,
+            (track.origin_x, track.origin_y),
+            max_range=float(scan.max_range),
+            tile_size=tile_size if tile_size is not None else 2.0,
+            ns=sector_ns, headroom=sector_headroom,
+            real_hw=(track.height, track.width))
+    return SimBundle(track=track, segmap=segmap, car=car, scan=scan,
+                     sim=sim, backend=backend)
 
 
-def make_scan_fn(bundle: SimBundle, backend: str = "segments",
+def make_scan_fn(bundle: SimBundle, backend: Optional[str] = None,
                  map_cell: Optional[dict] = None) -> Callable[[Any], Any]:
     """Returns ``scan(poses) -> ranges`` for poses (..., 3), noiseless.
+
+    ``backend=None`` uses the backend the bundle was built with (the
+    recommended way; build_sim resolves "auto" per map).
 
     The map (segment table / EDF) is read from ``map_cell["map"]`` at call
     time and passed into the compiled function as a *traced argument*:
     swapping in a rebuilt map of the same padded shape (the obstacle
     add/clear path, SURVEY.md §3.4) does NOT retrigger compilation.
     """
+    if backend is None:
+        backend = bundle.backend
     sc = bundle.scan
     theta_disc = sc.theta_discretization if sc.use_theta_table else 0
     if backend in _SEGMENT_BACKENDS:
@@ -115,6 +149,22 @@ def make_scan_fn(bundle: SimBundle, backend: str = "segments",
                 "backend='segments_pallas' needs an exact SegmentMap "
                 "(build_sim(backend='segments_pallas')), but this bundle "
                 "carries simplified GeneralSegmentMap geometry")
+        if backend == "sectors" or isinstance(bundle.segmap,
+                                              SectorSegmentMap):
+            if not (backend == "sectors"
+                    and isinstance(bundle.segmap, SectorSegmentMap)):
+                raise ValueError(
+                    f"backend={backend!r} does not match the bundle's map "
+                    f"type {type(bundle.segmap).__name__}; build the bundle "
+                    "with build_sim(backend='sectors') to use the sector "
+                    "backend (or 'auto' to dispatch per map)")
+
+            def scan_fn(poses):
+                return _scan_sectors(
+                    map_cell["map"], poses, num_beams=sc.num_beams,
+                    fov=sc.fov, max_range=sc.max_range,
+                    theta_discretization=theta_disc)
+            return scan_fn
         if backend == "segments_pallas":
 
             def scan_fn(poses):
@@ -156,15 +206,19 @@ def make_scan_fn(bundle: SimBundle, backend: str = "segments",
     return scan_fn
 
 
-def make_step_fn(bundle: SimBundle, backend: str = "segments",
+def make_step_fn(bundle: SimBundle, backend: Optional[str] = None,
                  with_noise: bool = True) -> Callable:
     """Build the fused simulation step (reference §3.2, one XLA program).
+
+    ``backend=None`` uses the backend the bundle was built with.
 
     Returns ``step(state, action, key=None) -> StepOutput`` where action is
     ``(v_des, steer_des)`` with shapes broadcastable to the state batch.
     The returned function is jit-compiled; vmap/shard over the batch axis is
     implicit (everything is written batched).
     """
+    if backend is None:
+        backend = bundle.backend
     map_cell = {"map": (bundle.segmap
                         if backend in _SEGMENT_BACKENDS
                         else bundle.track)}
@@ -233,10 +287,14 @@ class RacecarSimulator:
                  scan_params: ScanParams = None, sim_params: SimParams = None,
                  backend: str = "segments", batch_shape=(), seed: int = 0,
                  with_noise: bool = True):
+        # sector_headroom: interactive use adds/clears obstacles — slack
+        # in the cull-list capacity keeps those rebuilds shape-stable
+        # (no retrace); build_sim defaults stay tight for benchmarks.
         self.bundle = build_sim(track_or_name, car_params, scan_params,
-                                sim_params, backend=backend)
+                                sim_params, backend=backend,
+                                sector_headroom=8)
         self._pristine_track = self.bundle.track
-        self.backend = backend
+        self.backend = self.bundle.backend     # "auto" resolved per map
         self.with_noise = with_noise
         self.batch_shape = tuple(batch_shape)
         self._rebuild()
@@ -344,6 +402,29 @@ class RacecarSimulator:
     def _build_segmap(self, track):
         if self.backend not in _SEGMENT_BACKENDS:
             return None
+        old = self.bundle.segmap
+        if self.backend == "sectors":
+            # carry the previous capacity split so the rebuilt table keeps
+            # identical leaf shapes whenever it fits (no retrace on
+            # obstacle add/clear); _swap_or_rebuild handles overflow by
+            # rebuilding the closures after an auto-sized retry.
+            try:
+                return build_sector_map(
+                    np.asarray(track.occupancy), track.resolution,
+                    (track.origin_x, track.origin_y),
+                    max_range=float(self.bundle.scan.max_range),
+                    tile_size=old.tile_size, ns=old.ns,
+                    block_half=old.block_half,
+                    kvh=(old.kv_sec, old.table.shape[2] - old.kv_sec),
+                    real_hw=(track.height, track.width))
+            except ValueError:      # capacity overflow: auto-size instead
+                return build_sector_map(
+                    np.asarray(track.occupancy), track.resolution,
+                    (track.origin_x, track.origin_y),
+                    max_range=float(self.bundle.scan.max_range),
+                    tile_size=old.tile_size, ns=old.ns,
+                    block_half=old.block_half,
+                    real_hw=(track.height, track.width))
         builder = (build_general_segment_map
                    if self.backend == "segments_simplified"
                    else build_segment_map)
@@ -351,8 +432,7 @@ class RacecarSimulator:
             np.asarray(track.occupancy), track.resolution,
             (track.origin_x, track.origin_y),
             max_range=float(self.bundle.scan.max_range),
-            tile_size=(self.bundle.segmap.tile_size
-                       if self.bundle.segmap is not None else 4.0),
+            tile_size=(old.tile_size if old is not None else 4.0),
             real_hw=(track.height, track.width))
 
     def add_obstacle(self, x, y, size=0.2):

@@ -142,3 +142,71 @@ def test_meta_is_leaf_table_swap_no_retrace(blobby):
     scan(smap.table, smap.meta, poses)
     scan(smap2.table, smap2.meta, poses)
     assert calls["n"] == 1
+
+
+def test_bundled_maps_parity_1080():
+    """Flagship geometry on the bundled assets: sector scan vs the full-set
+    geometric oracle at 1080 beams (the scale round 2's toy-map tests did
+    not cover). Also records that the berlin-class table fits the budget.
+    """
+    from pyracecarsimulator_tpu.maps.loader import load_builtin
+    for name in ("levine", "berlin"):
+        m = load_builtin(name)
+        occ = np.asarray(m.occupancy)
+        org = (m.origin_x, m.origin_y)
+        smap = build_sector_map(occ, m.resolution, org, max_range=10.0,
+                                tile_size=2.0, ns=16,
+                                real_hw=(m.height, m.width))
+        segs = extract_segments(occ, m.resolution, org)
+        rng = np.random.RandomState(3)
+        edf = np.asarray(m.edf)[: m.height, : m.width]
+        ys, xs = np.where(edf > 0.3)
+        k = rng.randint(len(ys), size=8)
+        px = m.origin_x + (xs[k] + .5) * m.resolution
+        py = m.origin_y + (ys[k] + .5) * m.resolution
+        th = rng.uniform(-np.pi, np.pi, 8)
+        poses = jnp.asarray(np.stack([px, py, th], -1), jnp.float32)
+        r = scan_poses_sectors(smap, poses, num_beams=1080, fov=FOV,
+                               max_range=10.0)
+        _, _, xb, yb, ct, st = rays_from_poses(poses, 1080, FOV, 0)
+        ro = raycast_segments_numpy(
+            segs, np.asarray(xb).ravel(), np.asarray(yb).ravel(),
+            np.asarray(ct).ravel(), np.asarray(st).ravel(), 10.0
+        ).reshape(8, 1080)
+        np.testing.assert_allclose(np.asarray(r), ro, atol=1e-4,
+                                   err_msg=f"{name} sector parity")
+        # the table must stay HBM-friendly (berlin: ~130 MB at round-3
+        # capacities; a regression past 0.5 GB would break 4-map serving)
+        assert np.asarray(smap.table).nbytes < 5e8
+
+
+def test_facade_auto_backend_end_to_end(small_track):
+    """backend='auto' resolves to sectors, steps, and survives the
+    obstacle add/clear cycle without retracing."""
+    from pyracecarsimulator_tpu.config import ScanParams
+    from pyracecarsimulator_tpu.simulator import RacecarSimulator
+    sim = RacecarSimulator(small_track,
+                           scan_params=ScanParams(num_beams=64),
+                           backend="auto", with_noise=False)
+    assert sim.backend == "sectors"
+    edf = np.asarray(small_track.edf)[: small_track.height,
+                                      : small_track.width]
+    iy, ix = np.unravel_index(np.argmax(edf), edf.shape)
+    x = small_track.origin_x + (ix + 0.5) * small_track.resolution
+    y = small_track.origin_y + (iy + 0.5) * small_track.resolution
+    sim.set_pose(x, y, 0.0)
+    sim.drive(2.0, 0.0)
+    out = sim.update_pose()
+    assert out.ranges.shape == (64,)
+    assert float(out.state.velocity) > 0.0
+    r_before = np.asarray(sim.run_scan())
+    n0 = sim._step.jitted._cache_size()
+    step_obj = sim._step
+    sim.add_obstacle(x + 1.0, y, size=0.4)
+    r_with = np.asarray(sim.run_scan())
+    assert r_with.min() < r_before.min() + 1e-6
+    sim.clear_obstacles()
+    r_after = np.asarray(sim.run_scan())
+    np.testing.assert_allclose(r_after, r_before, atol=1e-6)
+    assert sim._step is step_obj, "step was rebuilt despite same shapes"
+    assert sim._step.jitted._cache_size() == n0, "obstacle caused retrace"
