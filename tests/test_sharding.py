@@ -180,3 +180,50 @@ def test_overlap_flags_module():
         ok = fl.enable_collective_overlap()
     assert not ok and any("XLA_FLAGS" in str(x.message) for x in w)
     assert os.environ.get("XLA_FLAGS", "") == before    # untouched
+
+
+def test_sharded_step_sector_backend(bundle, rng):
+    """Sharded step over the sector-culled backend (the round-3 flagship
+    raycast) matches the unsharded sector step bit-for-bit on the mesh."""
+    b = build_sim(bundle.track, scan=SCAN, backend="sectors")
+    mesh = make_mesh(agents_axis=4, beams_axis=2)
+    step_sh = make_sharded_step(mesh, b, with_noise=False)
+    step_ref = make_step_fn(b, with_noise=False)
+    poses = _poses(b, rng, 8)
+    s0 = shard_state(mesh, state_from_pose(poses[:, 0], poses[:, 1],
+                                           poses[:, 2]))
+    action = (jnp.full((8,), 2.0), jnp.zeros(8))
+    out_sh = step_sh(s0, action, None)
+    out_ref = step_ref(state_from_pose(poses[:, 0], poses[:, 1],
+                                       poses[:, 2]), action, None)
+    np.testing.assert_allclose(np.asarray(out_sh.ranges),
+                               np.asarray(out_ref.ranges), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_sh.collision),
+                                  np.asarray(out_ref.collision))
+
+
+def test_sharded_scan_sector_gradient(bundle, rng):
+    """Sector sharded scan + its pose gradient match the dense unsharded
+    reference (checks both the wedge-local block routing and the psum the
+    shard_map transpose inserts on the beams axis)."""
+    b = build_sim(bundle.track, scan=SCAN, backend="sectors")
+    mesh = make_mesh(agents_axis=2, beams_axis=4)
+    scan = make_sharded_scan(mesh, b.segmap, NB, float(SCAN.fov))
+    dense = build_sim(bundle.track, scan=SCAN, backend="segments")
+    offs = beam_angles(NB, float(SCAN.fov))
+
+    def loss_ref(poses):
+        ang = poses[:, 2:3] + offs[None, :]
+        ct, st = jnp.cos(ang), jnp.sin(ang)
+        xb = jnp.broadcast_to(poses[:, 0:1], ang.shape)
+        yb = jnp.broadcast_to(poses[:, 1:2], ang.shape)
+        return jnp.sum(raycast_all_diff(dense.segmap.params,
+                                        xb, yb, ct, st, 10.0) ** 2)
+
+    def loss_sh(poses):
+        return jnp.sum(scan(poses) ** 2)
+
+    poses = _poses(b, rng, 8)
+    g_sh = np.asarray(jax.grad(loss_sh)(poses))
+    g_ref = np.asarray(jax.grad(loss_ref)(poses))
+    np.testing.assert_allclose(g_sh, g_ref, rtol=1e-4, atol=1e-4)
