@@ -322,6 +322,75 @@ def main():
     except Exception as e:
         _log(f"[bench] dmap stage failed: {e!r}")
 
+    # round-3 fast map-gradient paths (ops/raymarch_diff.py):
+    #  * implicit: nearest while_loop march + IFT VJP (general EDF inputs)
+    #  * hybrid: sector forward + IFT map-cotangent attachment (compiled
+    #    binary maps — the framework's own map representation)
+    try:
+        from pyracecarsimulator_tpu.ops.raymarch_diff import (
+            scan_poses_implicit, with_map_gradient)
+        m = load_builtin("levine")
+        Ad = 512
+        x0d, y0d, xbd, ybd, ctd, std = ray_args(m, Ad)
+        poses_d = jnp.stack([x0d, y0d, jnp.zeros(Ad)], -1)
+        org = jnp.asarray((m.origin_x, m.origin_y), jnp.float32)
+
+        @jax.jit
+        def imp_loop(edf, poses):
+            def loss(e, p):
+                r = scan_poses_implicit(e, m.resolution, org, p,
+                                        num_beams=B, max_iters=256,
+                                        bounds_hw=(m.height, m.width))
+                return jnp.sum(r)
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                l, g = jax.value_and_grad(loss)(edf, poses + d)
+                return acc + l + jnp.sum(g[:2, :2]), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(3))
+            return acc
+
+        _log("[bench] levine dmap implicit: compiling ...")
+        results["levine_dmap_implicit_fwdbwd"] = tm.rate(
+            "levine_dmap_implicit_fwdbwd", imp_loop, (m.edf, poses_d), 3,
+            Ad * B)
+        _log(f"[bench] levine_dmap_implicit_fwdbwd rays/s = "
+             f"{results['levine_dmap_implicit_fwdbwd']:.3e}")
+
+        smap_d = build_sector_map(
+            np.asarray(m.occupancy), m.resolution,
+            (m.origin_x, m.origin_y), max_range=10.0, tile_size=2.0,
+            ns=16, real_hw=(m.height, m.width))
+        edf_j = jnp.asarray(np.asarray(m.edf)[: m.height, : m.width])
+
+        @jax.jit
+        def hyb_loop(edf, xb, yb, ct, st):
+            def loss(e, xb_, yb_):
+                d = xb_[0, 0] - x0d[0]
+                r = raycast_sectors(
+                    smap_d.table, smap_d.meta, smap_d.tiles_shape,
+                    smap_d.tile_size, smap_d.tile_origin, smap_d.ns,
+                    smap_d.kv_sec, x0d + d, y0d + d, xb_, yb_, ct, st,
+                    10.0, 128, 64, False, False)
+                r = with_map_gradient(e, r, xb_, yb_, ct, st,
+                                      m.resolution, org, 1e-4,
+                                      (m.height, m.width))
+                return jnp.sum(r)
+            def rep(acc, i):
+                d = i.astype(jnp.float32) * 1e-7
+                l, g = jax.value_and_grad(loss)(edf, xb + d, yb + d)
+                return acc + l + jnp.sum(g[:2, :2]), None
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(10))
+            return acc
+
+        _log("[bench] levine dmap hybrid (sector fwd + IFT): compiling ..")
+        results["levine_dmap_hybrid_fwdbwd"] = tm.rate(
+            "levine_dmap_hybrid_fwdbwd", hyb_loop,
+            (edf_j, xbd, ybd, ctd, std), 10, Ad * B)
+        _log(f"[bench] levine_dmap_hybrid_fwdbwd rays/s = "
+             f"{results['levine_dmap_hybrid_fwdbwd']:.3e}")
+    except Exception as e:
+        _log(f"[bench] fast dmap stages failed: {e!r}")
+
     # closed-loop env steps/s @ 4096 agents (levine, reactive policy):
     # once on the round-2 dense backend (continuity) and once on the
     # round-3 flagship sector backend.

@@ -66,10 +66,14 @@ def sample_edf_bilinear(edf: jnp.ndarray, gx, gy, bounds_hw=None):
     hp, wp = edf.shape
     h, w = bounds_hw if bounds_hw is not None else (hp, wp)
     inb = (gx >= 0) & (gy >= 0) & (gx < w) & (gy < h)
-    xs = jnp.clip(gx - 0.5, 0.0, wp - 1.000001)
-    ys = jnp.clip(gy - 0.5, 0.0, hp - 1.000001)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y0 = jnp.floor(ys).astype(jnp.int32)
+    xs = jnp.clip(gx - 0.5, 0.0, wp - 1.0)
+    ys = jnp.clip(gy - 0.5, 0.0, hp - 1.0)
+    # clamp the integer base so all 4 taps stay in bounds: f32 rounds a
+    # wp - 1.000001 clip bound up to wp - 1 exactly, making base + wp an
+    # OOB gather (jnp.take fills NaN) within the last half-cell of an
+    # unpadded map
+    x0 = jnp.minimum(jnp.floor(xs).astype(jnp.int32), wp - 2)
+    y0 = jnp.minimum(jnp.floor(ys).astype(jnp.int32), hp - 2)
     fx = xs - x0
     fy = ys - y0
     flat = edf.reshape(-1)
