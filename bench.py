@@ -222,18 +222,30 @@ def main():
             extra[f"{name}_sector_table_mb"] = round(
                 np.asarray(smap.table).nbytes / 1e6, 1)
 
+            # inputs at the padded block width, exactly as the production
+            # scan_poses_sectors generates them (padding six (A, B) arrays
+            # per scan instead costs 46% of the ray budget in HBM copies —
+            # docs/BOTTLENECK.md); rays/s still counts the B real beams.
+            b_padded = -(-B // 128) * 128
+
+            def pad_b(a):
+                return jnp.concatenate(
+                    [a, jnp.broadcast_to(a[:, -1:], (A, b_padded - B))], 1)
+            xbp, ybp, ctp, stp = map(pad_b, (xb, yb, ct, st))
+
             def sec_once(xb, yb, ct, st, smap=smap, x0=x0, y0=y0):
                 d = xb[0, 0] - x0[0]        # the rep perturbation, (scalar)
                 return raycast_sectors(
                     smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
                     smap.tile_origin, smap.ns, smap.kv_sec, x0 + d, y0 + d,
                     xb, yb, ct, st, 10.0, 128, 64, False, False)
-            stage(f"{name}_sector", sec_once, (xb, yb, ct, st), REPS, A * B)
+            stage(f"{name}_sector", sec_once, (xbp, ybp, ctp, stp), REPS,
+                  A * B)
 
             # hardware parity gate: sector == dense exact on this batch
             @jax.jit
             def parity():
-                r_s = sec_once(xb, yb, ct, st)
+                r_s = sec_once(xbp, ybp, ctp, stp)[:, :B]
                 r_d = fwd_once(xb, yb, ct, st)
                 return jnp.max(jnp.abs(r_s - r_d))
             extra[f"{name}_sector_parity_maxabs"] = float(parity())

@@ -73,19 +73,22 @@ class SectorSegmentMap:
     tiles_shape: Tuple[int, int] = (0, 0)
     tile_origin: Tuple[float, float] = (0.0, 0.0)
     extent: Tuple[float, float, float, float] = (-_FAR, _FAR, -_FAR, _FAR)
+    rt: float = 0.0                  # tile half-diagonal + slack (meters)
+    reach: float = 0.0               # max_range + rt (cull distance)
 
     def tree_flatten(self):
         return (self.table, self.meta, self.n_segments), (
             self.ns, self.kv_sec, self.block_half, self.tile_size,
-            self.tiles_shape, self.tile_origin, self.extent)
+            self.tiles_shape, self.tile_origin, self.extent, self.rt,
+            self.reach)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         table, meta, n = leaves
-        ns, kv, bh, ts, tshape, torg, ext = aux
+        ns, kv, bh, ts, tshape, torg, ext, rt, reach = aux
         return cls(table=table, meta=meta, n_segments=n, ns=ns, kv_sec=kv,
                    block_half=bh, tile_size=ts, tiles_shape=tshape,
-                   tile_origin=torg, extent=ext)
+                   tile_origin=torg, extent=ext, rt=rt, reach=reach)
 
 
 def _seg_endpoints(segs: np.ndarray):
@@ -103,6 +106,108 @@ def _seg_point_distance(segs: np.ndarray, cx: float, cy: float):
     perp = np.where(isv, cx, cy)
     d_along = np.maximum(np.maximum(lo - along, along - hi), 0.0)
     return np.hypot(d_along, np.abs(perp - p))
+
+
+def _membership(segs: np.ndarray, nr: int, nc: int, ns: int,
+                tile_size: float, ox: float, oy: float, rt: float,
+                reach: float, block_half: float) -> np.ndarray:
+    """(T*NS, K) bool: conservative visibility of each segment from each
+    (tile, sector) cull list — the module-doc proof obligation.
+
+    Fully vectorized over (tiles, segments): the round-2 per-tile Python
+    loop took 147 s on berlin-class maps (1024 tiles x 4442 segs); this
+    broadcasts the same geometry in ~1 s. float32 throughout (halves the
+    working set; the 1e-3 rad safety epsilon in ``pad`` dwarfs f32
+    rounding, so the conservative cover is preserved).
+    """
+    wsec = 2.0 * np.pi / ns
+    sec_starts = (np.arange(ns) * wsec).astype(np.float32)
+    ax, ay, bx, by = _seg_endpoints(segs)
+    f32 = lambda a: np.asarray(a, np.float32)
+    ax, ay, bx, by = f32(ax), f32(ay), f32(bx), f32(by)
+    cxs = f32(ox + (np.tile(np.arange(nc), nr) + 0.5) * tile_size)   # (T,)
+    cys = f32(oy + (np.repeat(np.arange(nr), nc) + 0.5) * tile_size)
+    p, slo, shi = f32(segs[:, 0]), f32(segs[:, 1]), f32(segs[:, 2])
+    isv = segs[:, 3] > 0.5
+    along = np.where(isv[None, :], cys[:, None], cxs[:, None])  # (T, K)
+    perp = np.where(isv[None, :], cxs[:, None], cys[:, None])
+    d_along = np.maximum(
+        np.maximum(slo[None, :] - along, along - shi[None, :]), 0.0)
+    d = np.hypot(d_along, np.abs(perp - p[None, :]))
+    near = d <= reach
+    th1 = np.arctan2(ay[None, :] - cys[:, None], ax[None, :] - cxs[:, None])
+    th2 = np.arctan2(by[None, :] - cys[:, None], bx[None, :] - cxs[:, None])
+    # short-way arc between endpoint directions (width < pi: the segment
+    # lies on one side of any external viewpoint)
+    diff = np.mod(th2 - th1, 2.0 * np.pi)
+    flip = diff > np.pi
+    arc_lo = np.where(flip, th2, th1)
+    width = np.where(flip, 2.0 * np.pi - diff, diff)
+    par = np.arcsin(np.minimum(1.0, rt / np.maximum(d, 1e-9)))
+    pad = par + block_half + 1e-3
+    full = (d <= rt) | (width + 2.0 * pad >= 2.0 * np.pi - wsec)
+    lo_pad = arc_lo - pad
+    span = width + 2.0 * pad
+    # sector s = [s*wsec, (s+1)*wsec) intersects the padded arc iff its
+    # start lands inside the arc (mod 2pi) or within wsec before it.
+    # Looping s keeps peak memory at O(T*K) instead of O(T*K*NS) floats.
+    memb = np.empty((ns, nr * nc, len(segs)), bool)
+    for s in range(ns):
+        rel = np.mod(sec_starts[s] - lo_pad, 2.0 * np.pi)
+        memb[s] = ((rel <= span) | (rel >= 2.0 * np.pi - wsec) | full) & near
+    return memb.transpose(1, 0, 2).reshape(nr * nc * ns, len(segs))
+
+
+def add_segments(smap: SectorSegmentMap, new_segs: np.ndarray
+                 ) -> SectorSegmentMap:
+    """Append boundary segments (e.g. a rasterized obstacle's 4-segment
+    box) into the cull lists' headroom slots — O(T x n_new) host geometry
+    plus one tiny device scatter per segment, vs the multi-second full
+    rebuild. Leaf shapes are UNCHANGED (no retrace).
+
+    Correctness: extra segments are only ever added, never removed, and a
+    segment interior to the occupied union is occluded by the union's own
+    boundary, so first-hit ranges from free-space origins are EXACTLY those
+    of a full rebuild (tests/test_sectors.py::test_incremental_obstacle).
+
+    Raises ValueError when any list's capacity would overflow — the caller
+    (simulator facade) falls back to a full rebuild.
+    """
+    import jax.numpy as jnp
+    new_segs = np.atleast_2d(np.asarray(new_segs, np.float64))
+    nr, nc = smap.tiles_shape
+    ox, oy = smap.tile_origin
+    memb = _membership(new_segs, nr, nc, smap.ns, smap.tile_size, ox, oy,
+                       smap.rt, smap.reach, smap.block_half)  # (L, n)
+    meta = np.asarray(smap.meta)
+    kv = smap.kv_sec
+    k_tot = smap.table.shape[2]
+    counts_v = meta[:, 0].copy()
+    counts_h = (meta[:, 2] - meta[:, 1]).copy()
+    table = smap.table
+    for i, seg in enumerate(new_segs):
+        lid = np.where(memb[:, i])[0]
+        if len(lid) == 0:
+            continue
+        if seg[3] > 0.5:
+            if (counts_v[lid] >= kv).any():
+                raise ValueError(
+                    "sector headroom exhausted (V); full rebuild needed")
+            slots = counts_v[lid]
+            counts_v[lid] += 1
+        else:
+            if (counts_h[lid] >= k_tot - kv).any():
+                raise ValueError(
+                    "sector headroom exhausted (H); full rebuild needed")
+            slots = kv + counts_h[lid]
+            counts_h[lid] += 1
+        table = table.at[jnp.asarray(lid), :, jnp.asarray(slots)].set(
+            jnp.asarray(seg, jnp.float32))
+    meta2 = np.stack([counts_v, np.full(len(meta), kv, counts_v.dtype),
+                      kv + counts_h], axis=1).astype(np.int32)
+    return dataclasses.replace(
+        smap, table=table, meta=jnp.asarray(meta2),
+        n_segments=smap.n_segments + len(new_segs))
 
 
 def build_sector_map(occupancy: np.ndarray, resolution: float,
@@ -147,51 +252,11 @@ def build_sector_map(occupancy: np.ndarray, resolution: float,
     reach = max_range + rt
     wsec = 2.0 * np.pi / ns
 
-    ax, ay, bx, by = _seg_endpoints(segs)
-    sec_starts = (np.arange(ns) * wsec).astype(np.float32)
-
-    # Fully vectorized membership over (tiles, segments): the round-2
-    # per-tile Python loop took 147 s on berlin-class maps (1024 tiles x
-    # 4442 segs) — unusable for the obstacle add/clear rebuild path. The
-    # same geometry broadcasts to (T, K) arrays in ~1 s.
+    memb_flat = _membership(segs, nr, nc, ns, tile_size, ox, oy, rt,
+                            reach, block_half)
     k_n = len(segs)
     tnl = nr * nc * ns
-    # float32 throughout: halves the (T, K) working set; the 1e-3 rad
-    # safety epsilon in ``pad`` dwarfs f32 rounding, so the conservative
-    # cover is preserved.
-    f32 = lambda a: np.asarray(a, np.float32)
-    ax, ay, bx, by = f32(ax), f32(ay), f32(bx), f32(by)
-    cxs = f32(ox + (np.tile(np.arange(nc), nr) + 0.5) * tile_size)   # (T,)
-    cys = f32(oy + (np.repeat(np.arange(nr), nc) + 0.5) * tile_size)
-    p, slo, shi = f32(segs[:, 0]), f32(segs[:, 1]), f32(segs[:, 2])
     isv = segs[:, 3] > 0.5
-    along = np.where(isv[None, :], cys[:, None], cxs[:, None])  # (T, K)
-    perp = np.where(isv[None, :], cxs[:, None], cys[:, None])
-    d_along = np.maximum(
-        np.maximum(slo[None, :] - along, along - shi[None, :]), 0.0)
-    d = np.hypot(d_along, np.abs(perp - p[None, :]))
-    near = d <= reach
-    th1 = np.arctan2(ay[None, :] - cys[:, None], ax[None, :] - cxs[:, None])
-    th2 = np.arctan2(by[None, :] - cys[:, None], bx[None, :] - cxs[:, None])
-    # short-way arc between endpoint directions (width < pi: the segment
-    # lies on one side of any external viewpoint)
-    diff = np.mod(th2 - th1, 2.0 * np.pi)
-    flip = diff > np.pi
-    arc_lo = np.where(flip, th2, th1)
-    width = np.where(flip, 2.0 * np.pi - diff, diff)
-    par = np.arcsin(np.minimum(1.0, rt / np.maximum(d, 1e-9)))
-    pad = par + block_half + 1e-3
-    full = (d <= rt) | (width + 2.0 * pad >= 2.0 * np.pi - wsec)
-    lo_pad = arc_lo - pad
-    span = width + 2.0 * pad
-    # sector s = [s*wsec, (s+1)*wsec) intersects the padded arc iff its
-    # start lands inside the arc (mod 2pi) or within wsec before it.
-    # Looping s keeps peak memory at O(T*K) instead of O(T*K*NS) floats.
-    memb = np.empty((ns, nr * nc, k_n), bool)
-    for s in range(ns):
-        rel = np.mod(sec_starts[s] - lo_pad, 2.0 * np.pi)
-        memb[s] = ((rel <= span) | (rel >= 2.0 * np.pi - wsec) | full) & near
-    memb_flat = memb.transpose(1, 0, 2).reshape(tnl, k_n)       # (T*NS, K)
     counts_v = (memb_flat & isv[None, :]).sum(axis=1)
     counts_h = (memb_flat & ~isv[None, :]).sum(axis=1)
 
@@ -237,4 +302,5 @@ def build_sector_map(occupancy: np.ndarray, resolution: float,
         meta=jnp.asarray(meta),
         n_segments=len(segs), ns=ns, kv_sec=kv_sec,
         block_half=float(block_half), tile_size=float(tile_size),
-        tiles_shape=(nr, nc), tile_origin=(ox, oy), extent=extent)
+        tiles_shape=(nr, nc), tile_origin=(ox, oy), extent=extent,
+        rt=float(rt), reach=float(reach))

@@ -191,7 +191,7 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     so program/DMA overhead dominates; the batched XLA sweep amortizes it).
     The Pallas route stays available for A/B and parity testing.
     """
-    from .common import rays_from_poses, apply_extent_mask
+    from .common import beam_angles, quantize_angles, apply_extent_mask
     if use_pallas is None:
         use_pallas = False
     if interpret is None:
@@ -209,13 +209,29 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
             f"beam blocks span +-{need:.3f} rad but the sector map was "
             f"built for block_half={smap.block_half:.3f}; rebuild the map "
             "with a larger block_half or use a smaller bb")
-    batch, poses2, xb, yb, ct, st = rays_from_poses(
-        poses, num_beams, fov, theta_discretization)
+    # Generate the beam fan at the PADDED width (edge-replicated offsets):
+    # padding six (A, B) ray arrays inside the raycast instead costs real
+    # HBM copies every scan — measured 46% of the flagship ray budget
+    # (docs/BOTTLENECK.md); padding the (B,) offset row is free.
+    nblk = -(-num_beams // bb)
+    b_pad = nblk * bb - num_beams
+    poses = jnp.asarray(poses)
+    batch = poses.shape[:-1]
+    poses2 = poses.reshape(-1, 3)
+    offs = beam_angles(num_beams, fov)
+    if b_pad:
+        offs = jnp.concatenate(
+            [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
+    ang = quantize_angles(poses2[:, 2:3] + offs[None, :],
+                          theta_discretization)
+    ct, st = jnp.cos(ang), jnp.sin(ang)
+    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
+    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
     r = raycast_sectors(
         smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
         smap.tile_origin, smap.ns, smap.kv_sec, poses2[:, 0], poses2[:, 1],
         xb, yb, ct, st, max_range, bb, 64, bool(use_pallas),
-        bool(interpret))
+        bool(interpret))[:, :num_beams]
     r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], smap.extent,
                           max_range)
     return r.reshape(*batch, num_beams)

@@ -93,6 +93,14 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
         # poses: (A_loc, 3); offs: (B_loc,) this device's beam wedge
         x = poses[:, 0:1]
         y = poses[:, 1:2]
+        b_loc = offs.shape[0]
+        if is_sector:
+            # pad the offset row to the block width up front — free, vs
+            # real HBM copies for six (A, B) arrays (docs/BOTTLENECK.md)
+            pad_l = (-b_loc) % bb
+            if pad_l:
+                offs = jnp.concatenate(
+                    [offs, jnp.broadcast_to(offs[-1:], (pad_l,))])
         ang = poses[:, 2:3] + offs[None, :]
         ct, st = jnp.cos(ang), jnp.sin(ang)
         xb = jnp.broadcast_to(x, ang.shape)
@@ -102,7 +110,7 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
                 smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
                 smap.tile_origin, smap.ns, smap.kv_sec, poses[:, 0],
                 poses[:, 1], xb, yb, ct, st, max_range, bb, 64, False,
-                False)
+                False)[:, :b_loc]
             return apply_extent_mask(r, poses[:, 0], poses[:, 1],
                                      smap.extent, max_range)
         return raycast_all_diff(segments_or_map, xb, yb, ct, st, max_range,
@@ -177,7 +185,17 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
         new = dyn.apply_standstill(state, new)
         sx = new.x + car.scan_distance_to_base_link * jnp.cos(new.theta)
         sy = new.y + car.scan_distance_to_base_link * jnp.sin(new.theta)
-        ang = quantize_angles(new.theta[:, None] + offs[None, :],
+        b_loc = offs.shape[0]
+        offs_l = offs
+        if is_sector:
+            # build the fan at the padded block width: padding the offset
+            # row is free, padding six (A, B) arrays inside the raycast is
+            # real HBM traffic (docs/BOTTLENECK.md: 46% of the ray budget)
+            pad_l = (-b_loc) % bb
+            if pad_l:
+                offs_l = jnp.concatenate(
+                    [offs, jnp.broadcast_to(offs[-1:], (pad_l,))])
+        ang = quantize_angles(new.theta[:, None] + offs_l[None, :],
                               theta_disc)
         ct, st = jnp.cos(ang), jnp.sin(ang)
         xb = jnp.broadcast_to(sx[:, None], ang.shape)
@@ -186,7 +204,8 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
             ranges = _rc_sectors(
                 smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
                 smap.tile_origin, smap.ns, smap.kv_sec, sx, sy,
-                xb, yb, ct, st, float(sc.max_range), bb, 64, False, False)
+                xb, yb, ct, st, float(sc.max_range), bb, 64, False,
+                False)[:, :b_loc]
         elif is_general:
             ranges = _rc_general(seg_params, xb, yb, ct, st,
                                  float(sc.max_range))

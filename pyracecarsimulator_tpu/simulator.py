@@ -310,6 +310,7 @@ class RacecarSimulator:
                                 sim_params, backend=backend,
                                 sector_headroom=8)
         self._pristine_track = self.bundle.track
+        self._pristine_segmap = self.bundle.segmap   # clear = swap, no rebuild
         self.backend = self.bundle.backend     # "auto" resolved per map
         self.with_noise = with_noise
         self.batch_shape = tuple(batch_shape)
@@ -451,19 +452,50 @@ class RacecarSimulator:
             tile_size=(old.tile_size if old is not None else 4.0),
             real_hw=(track.height, track.width))
 
+    def _obstacle_box_segments(self, track, x, y, size):
+        """The 4 boundary segments of the rasterized obstacle box, in the
+        exact cell snapping of maps.loader.add_obstacle."""
+        res = track.resolution
+        r = max(1, int(round(size / res / 2)))
+        ci = int((y - track.origin_y) / res)
+        cj = int((x - track.origin_x) / res)
+        i0, i1 = max(0, ci - r), min(track.height, ci + r + 1)
+        j0, j1 = max(0, cj - r), min(track.width, cj + r + 1)
+        ox, oy = track.origin_x, track.origin_y
+        return np.asarray([
+            (ox + j0 * res, oy + i0 * res, oy + i1 * res, 1.0),
+            (ox + j1 * res, oy + i0 * res, oy + i1 * res, 1.0),
+            (oy + i0 * res, ox + j0 * res, ox + j1 * res, 0.0),
+            (oy + i1 * res, ox + j0 * res, ox + j1 * res, 0.0)],
+            np.float64)
+
     def add_obstacle(self, x, y, size=0.2):
-        """Rasterize an obstacle and rebuild EDF + segments (reference
-        addObstacle; episode-frequency host path, SURVEY.md §3.4)."""
+        """Rasterize an obstacle and update EDF + geometry (reference
+        addObstacle; episode-frequency host path, SURVEY.md §3.4). On the
+        sector backend the cull-list update is INCREMENTAL (append into
+        headroom slots, ~ms) — ray-exact, see maps.sectors.add_segments —
+        with a full rebuild fallback when headroom runs out."""
+        from .maps.sectors import add_segments
         track = _add_obs(self.bundle.track, x, y, size)
-        self.bundle = self.bundle._replace(track=track,
-                                           segmap=self._build_segmap(track))
+        if self.backend == "sectors":
+            try:
+                segmap = add_segments(
+                    self.bundle.segmap,
+                    self._obstacle_box_segments(self.bundle.track, x, y,
+                                                size))
+            except ValueError:
+                segmap = self._build_segmap(track)
+        else:
+            segmap = self._build_segmap(track)
+        self.bundle = self.bundle._replace(track=track, segmap=segmap)
         self._swap_or_rebuild()
 
     def clear_obstacles(self):
-        """Restore the pristine map (reference clearObstacles)."""
+        """Restore the pristine map (reference clearObstacles). The
+        pristine geometry is cached, so this is swap-only (no rebuild)."""
         t = self._pristine_track
         self.bundle = self.bundle._replace(track=t,
-                                           segmap=self._build_segmap(t))
+                                           segmap=self._pristine_segmap)
         self._swap_or_rebuild()
 
     # camelCase aliases matching the reference lineage's method names

@@ -210,3 +210,59 @@ def test_facade_auto_backend_end_to_end(small_track):
     np.testing.assert_allclose(r_after, r_before, atol=1e-6)
     assert sim._step is step_obj, "step was rebuilt despite same shapes"
     assert sim._step.jitted._cache_size() == n0, "obstacle caused retrace"
+
+
+def test_incremental_obstacle_matches_full_rebuild(small_track):
+    """maps.sectors.add_segments: appending a rasterized obstacle's box
+    segments into headroom slots must yield EXACTLY the ranges of a full
+    rebuild from the mutated occupancy (extra interior segments are
+    occluded by the union boundary), with unchanged leaf shapes."""
+    from pyracecarsimulator_tpu.maps.loader import add_obstacle
+    from pyracecarsimulator_tpu.maps.sectors import add_segments
+    from pyracecarsimulator_tpu.simulator import RacecarSimulator
+    from pyracecarsimulator_tpu.config import ScanParams
+    t = small_track
+    occ = np.asarray(t.occupancy)[: t.height, : t.width]
+    smap0 = build_sector_map(occ, t.resolution,
+                             (t.origin_x, t.origin_y), max_range=10.0,
+                             tile_size=2.0, ns=16, headroom=8,
+                             real_hw=(t.height, t.width))
+    # obstacle in open space (same snapping as the facade)
+    edf = np.asarray(t.edf)[: t.height, : t.width]
+    iy, ix = np.unravel_index(np.argmax(edf), edf.shape)
+    x = t.origin_x + (ix + 0.5) * t.resolution
+    y = t.origin_y + (iy + 0.5) * t.resolution
+    t2 = add_obstacle(t, x, y, size=0.4)
+    occ2 = np.asarray(t2.occupancy)[: t2.height, : t2.width]
+    sim = RacecarSimulator(t, scan_params=ScanParams(num_beams=64),
+                           backend="sectors", with_noise=False)
+    segs_box = sim._obstacle_box_segments(t, x, y, 0.4)
+    smap_inc = add_segments(smap0, segs_box)
+    assert smap_inc.table.shape == smap0.table.shape
+    smap_full = build_sector_map(occ2, t2.resolution,
+                                 (t2.origin_x, t2.origin_y),
+                                 max_range=10.0, tile_size=2.0, ns=16,
+                                 real_hw=(t2.height, t2.width))
+    rng_l = np.random.RandomState(5)
+    ys, xs = np.where(edf > 0.8)
+    k = rng_l.randint(len(ys), size=16)
+    px = t.origin_x + (xs[k] + .5) * t.resolution
+    py = t.origin_y + (ys[k] + .5) * t.resolution
+    th = rng_l.uniform(-np.pi, np.pi, 16)
+    poses = jnp.asarray(np.stack([px, py, th], -1), jnp.float32)
+    r_inc = scan_poses_sectors(smap_inc, poses, num_beams=540, fov=FOV,
+                               max_range=10.0)
+    r_full = scan_poses_sectors(smap_full, poses, num_beams=540, fov=FOV,
+                                max_range=10.0)
+    np.testing.assert_array_equal(np.asarray(r_inc), np.asarray(r_full))
+    # facade path: incremental add + cached-pristine clear, no retrace
+    sim.set_pose(x + 1.2, y, np.pi)       # looking back at the obstacle
+    r_before = np.asarray(sim.run_scan())
+    n0 = sim._step.jitted._cache_size()
+    sim.add_obstacle(x, y, size=0.4)
+    r_with = np.asarray(sim.run_scan())
+    assert r_with.min() <= r_before.min() + 1e-6
+    sim.clear_obstacles()
+    np.testing.assert_allclose(np.asarray(sim.run_scan()), r_before,
+                               atol=1e-6)
+    assert sim._step.jitted._cache_size() == n0
