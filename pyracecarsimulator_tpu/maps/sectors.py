@@ -304,3 +304,87 @@ def build_sector_map(occupancy: np.ndarray, resolution: float,
         block_half=float(block_half), tile_size=float(tile_size),
         tiles_shape=(nr, nc), tile_origin=(ox, oy), extent=extent,
         rt=float(rt), reach=float(reach))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class StackedSectorMap:
+    """M sector maps stacked for multi-track batched serving: one scan
+    call over agents living on DIFFERENT maps (e.g. RL across a track
+    distribution). Tables are padded to a common capacity and
+    concatenated; per-map tile-grid geometry rides in small per-map leaf
+    arrays gathered per agent (O(agents) scalar gathers — noise next to
+    the sweep).
+
+    No reference equivalent (the reference holds one map per process).
+    """
+
+    table: Any        # (sum_m L_m, 4, K) common capacity
+    meta: Any         # (sum_m L_m, 3)
+    offsets: Any      # (M,) int32 — row offset of each map's lists
+    grids: Any        # (M, 4) f32 — [nr, nc, tox, toy] per map
+    extents: Any      # (M, 4) f32 — [x0, x1, y0, y1] per map
+    ns: int = 16
+    kv_sec: int = 0
+    block_half: float = 0.285
+    tile_size: float = 0.0
+
+    def tree_flatten(self):
+        return (self.table, self.meta, self.offsets, self.grids,
+                self.extents), (self.ns, self.kv_sec, self.block_half,
+                                self.tile_size)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        table, meta, offsets, grids, extents = leaves
+        ns, kv, bh, ts = aux
+        return cls(table=table, meta=meta, offsets=offsets, grids=grids,
+                   extents=extents, ns=ns, kv_sec=kv, block_half=bh,
+                   tile_size=ts)
+
+
+def stack_sector_maps(maps) -> StackedSectorMap:
+    """Stack sector maps (same ns/tile_size/block_half; capacities are
+    re-padded to the common max) for ``scan_poses_sectors_multi``."""
+    import jax.numpy as jnp
+    m0 = maps[0]
+    for m in maps:
+        if (m.ns != m0.ns or m.tile_size != m0.tile_size
+                or m.block_half != m0.block_half):
+            raise ValueError("stacked maps must share ns/tile_size/"
+                             "block_half (rebuild with common settings)")
+    kv = max(m.kv_sec for m in maps)
+    kh = max(m.table.shape[2] - m.kv_sec for m in maps)
+    tables, metas, offsets, grids, extents = [], [], [], [], []
+    row = 0
+    for m in maps:
+        t = np.asarray(m.table)                   # (L, 4, K_m)
+        l_m, _, _ = t.shape
+        kv_m = m.kv_sec
+        kh_m = t.shape[2] - kv_m
+        out = np.zeros((l_m, 4, kv + kh), np.float32)
+        out[:, 0, :] = _FAR                       # never-hit sentinels
+        out[:, 1, :] = 1.0
+        out[:, 2, :] = -1.0
+        out[:, 3, :kv] = 1.0
+        out[:, :, :kv_m] = t[:, :, :kv_m]
+        out[:, :, kv:kv + kh_m] = t[:, :, kv_m:]
+        meta = np.asarray(m.meta).copy()          # [n_v, h_lo, h_end]
+        n_h = meta[:, 2] - meta[:, 1]
+        meta[:, 1] = kv
+        meta[:, 2] = kv + n_h
+        tables.append(out)
+        metas.append(meta)
+        offsets.append(row)
+        row += l_m
+        nr, nc = m.tiles_shape
+        grids.append((nr, nc, m.tile_origin[0], m.tile_origin[1]))
+        extents.append(m.extent)
+    return StackedSectorMap(
+        table=jnp.asarray(np.concatenate(tables, axis=0)),
+        meta=jnp.asarray(np.concatenate(metas, axis=0)),
+        offsets=jnp.asarray(np.asarray(offsets, np.int32)),
+        grids=jnp.asarray(np.asarray(grids, np.float32)),
+        extents=jnp.asarray(np.asarray(extents, np.float32)),
+        ns=m0.ns, kv_sec=kv, block_half=m0.block_half,
+        tile_size=m0.tile_size)

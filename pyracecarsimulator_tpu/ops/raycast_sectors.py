@@ -235,3 +235,112 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], smap.extent,
                           max_range)
     return r.reshape(*batch, num_beams)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 8, 9))
+def raycast_sectors_ids(table, meta, ids, kv_sec, x, y, cos_t, sin_t,
+                        max_range: float = 10.0, chunk: int = 64):
+    """Sector sweep over PRECOMPUTED list ids (multi-map serving path).
+
+    ray args are (A, NBLK, BB); ``ids`` (A, NBLK) rows into ``table``.
+    Same values/VJP as ``raycast_sectors`` — only the id routing differs
+    (per-agent map offsets, maps/sectors.StackedSectorMap). Returns
+    (A, NBLK*BB) clamped ranges.
+    """
+    from .raycast_segments import _ray_invs
+    inv_c, inv_s = _ray_invs(cos_t, sin_t)
+    bv, bh = _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c,
+                        inv_s, chunk)
+    a_n = x.shape[0]
+    return jnp.minimum(jnp.minimum(bv, bh), max_range).reshape(a_n, -1)
+
+
+def _rsi_fwd(table, meta, ids, kv_sec, x, y, cos_t, sin_t, max_range,
+             chunk):
+    from .raycast_segments import _ray_invs
+    inv_c, inv_s = _ray_invs(cos_t, sin_t)
+    bv, bh = _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c,
+                        inv_s, chunk)
+    a_n = x.shape[0]
+    r = jnp.minimum(jnp.minimum(bv, bh), max_range).reshape(a_n, -1)
+    isv = (bv <= bh).reshape(a_n, -1)
+    hit = (jnp.minimum(bv, bh) < max_range).reshape(a_n, -1)
+    return r, (jnp.shape(table), jnp.shape(meta), jnp.shape(ids),
+               jnp.shape(x), r, isv, hit, cos_t, sin_t)
+
+
+def _rsi_bwd(kv_sec, max_range, chunk, res, g):
+    from .raycast_grad import _winner_vjp
+    tshape, mshape, ishape, rshape, r, isv, hit, cos_t, sin_t = res
+    gx, gy, gct, gst = _winner_vjp(
+        r, isv, hit, cos_t.reshape(r.shape), sin_t.reshape(r.shape), g)
+    f0 = lambda s: np.zeros(s, jax.dtypes.float0)
+    return (jnp.zeros(tshape, jnp.float32), f0(mshape), f0(ishape),
+            gx.reshape(rshape), gy.reshape(rshape), gct.reshape(rshape),
+            gst.reshape(rshape))
+
+
+raycast_sectors_ids.defvjp(_rsi_fwd, _rsi_bwd)
+
+
+def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
+                             fov: float = 4.712388980384690,
+                             max_range=10.0, theta_discretization: int = 0,
+                             bb=None) -> jnp.ndarray:
+    """Multi-track batched scan: agent i scans on map ``map_ids[i]``.
+
+    ``stack``: maps/sectors.StackedSectorMap. One fused sweep serves the
+    whole agent batch across all stacked tracks — per-agent map routing is
+    a handful of O(agents) scalar gathers on top of the single-map path.
+    """
+    from .common import beam_angles, quantize_angles
+    spacing = fov / max(num_beams - 1, 1)
+    if bb is None:
+        bb = max(1, min(128, 2 * int(stack.block_half / spacing)))
+    need = (bb // 2) * spacing
+    if need > stack.block_half:
+        raise ValueError(
+            f"beam blocks span +-{need:.3f} rad but the stacked maps were "
+            f"built for block_half={stack.block_half:.3f}")
+    nblk = -(-num_beams // bb)
+    b_pad = nblk * bb - num_beams
+    poses = jnp.asarray(poses)
+    batch = poses.shape[:-1]
+    poses2 = poses.reshape(-1, 3)
+    mid = jnp.asarray(map_ids, jnp.int32).reshape(-1)
+    offs = beam_angles(num_beams, fov)
+    if b_pad:
+        offs = jnp.concatenate(
+            [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
+    ang = quantize_angles(poses2[:, 2:3] + offs[None, :],
+                          theta_discretization)
+    ct, st = jnp.cos(ang), jnp.sin(ang)
+    a_n = poses2.shape[0]
+    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
+    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
+    # per-agent map geometry (O(agents) scalar gathers)
+    g = jnp.take(stack.grids, mid, axis=0)          # [nr, nc, tox, toy]
+    base = jnp.take(stack.offsets, mid)             # (A,)
+    nr = g[:, 0].astype(jnp.int32)
+    nc = g[:, 1].astype(jnp.int32)
+    ci = jnp.clip(((poses2[:, 0] - g[:, 2]) / stack.tile_size)
+                  .astype(jnp.int32), 0, nc - 1)
+    ri = jnp.clip(((poses2[:, 1] - g[:, 3]) / stack.tile_size)
+                  .astype(jnp.int32), 0, nr - 1)
+    tid = ri * nc + ci
+    mids = np.minimum(np.arange(nblk) * bb + bb // 2, num_beams - 1)
+    th = jnp.mod(jnp.arctan2(st[:, mids], ct[:, mids]), _TWO_PI)
+    sec = jnp.clip((th * (stack.ns / _TWO_PI)).astype(jnp.int32), 0,
+                   stack.ns - 1)
+    ids = (base + tid * stack.ns)[:, None] + sec    # (A, NBLK)
+    shp = (a_n, nblk, bb)
+    r = raycast_sectors_ids(
+        stack.table, stack.meta, ids, stack.kv_sec, xb.reshape(shp),
+        yb.reshape(shp), ct.reshape(shp), st.reshape(shp), max_range,
+        64)[:, :num_beams]
+    # per-agent extent mask (reference out-of-map => max_range)
+    e = jnp.take(stack.extents, mid, axis=0)
+    inside = ((poses2[:, 0] >= e[:, 0]) & (poses2[:, 0] < e[:, 1])
+              & (poses2[:, 1] >= e[:, 2]) & (poses2[:, 1] < e[:, 3]))
+    r = jnp.where(inside[:, None], r, max_range)
+    return r.reshape(*batch, num_beams)

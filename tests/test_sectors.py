@@ -266,3 +266,54 @@ def test_incremental_obstacle_matches_full_rebuild(small_track):
     np.testing.assert_allclose(np.asarray(sim.run_scan()), r_before,
                                atol=1e-6)
     assert sim._step.jitted._cache_size() == n0
+
+
+def test_multi_map_stack_matches_per_map(blobby, small_track):
+    """Multi-track serving: one scan call over agents on DIFFERENT maps
+    must reproduce each map's own sector scan exactly, values and pose
+    gradients."""
+    from pyracecarsimulator_tpu.maps.sectors import stack_sector_maps
+    from pyracecarsimulator_tpu.ops.raycast_sectors import (
+        scan_poses_sectors_multi)
+    occ, res, org, smap_a, segs, poses_a = blobby
+    t = small_track
+    occ_b = np.asarray(t.occupancy)[: t.height, : t.width]
+    smap_b = build_sector_map(occ_b, t.resolution,
+                              (t.origin_x, t.origin_y), max_range=MAXR,
+                              tile_size=1.0, ns=8, block_half=0.62,
+                              real_hw=(t.height, t.width))
+    stack = stack_sector_maps([smap_a, smap_b])
+    rng = np.random.RandomState(2)
+    edf = np.asarray(t.edf)[: t.height, : t.width]
+    ys, xs = np.where(edf > 0.4)
+    k = rng.randint(len(ys), size=12)
+    pb = np.stack([t.origin_x + (xs[k] + .5) * t.resolution,
+                   t.origin_y + (ys[k] + .5) * t.resolution,
+                   rng.uniform(-np.pi, np.pi, 12)], -1)
+    poses_b = jnp.asarray(pb, jnp.float32)
+    poses = jnp.concatenate([poses_a[:12], poses_b], axis=0)
+    map_ids = jnp.asarray([0] * 12 + [1] * 12, jnp.int32)
+    r_multi = scan_poses_sectors_multi(stack, map_ids, poses,
+                                       num_beams=540, fov=FOV,
+                                       max_range=MAXR, bb=64)
+    r_a = scan_poses_sectors(smap_a, poses_a[:12], num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=64)
+    r_b = scan_poses_sectors(smap_b, poses_b, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=64)
+    np.testing.assert_array_equal(np.asarray(r_multi[:12]), np.asarray(r_a))
+    np.testing.assert_array_equal(np.asarray(r_multi[12:]), np.asarray(r_b))
+
+    # pose gradients flow through the multi path identically
+    def loss_multi(p):
+        return jnp.sum(scan_poses_sectors_multi(
+            stack, map_ids, p, num_beams=540, fov=FOV, max_range=MAXR,
+            bb=64) ** 2)
+
+    def loss_b(p):
+        return jnp.sum(scan_poses_sectors(
+            smap_b, p, num_beams=540, fov=FOV, max_range=MAXR,
+            bb=64) ** 2)
+
+    gm = np.asarray(jax.grad(loss_multi)(poses))
+    gb = np.asarray(jax.grad(loss_b)(poses_b))
+    np.testing.assert_allclose(gm[12:], gb, rtol=1e-5, atol=1e-5)
