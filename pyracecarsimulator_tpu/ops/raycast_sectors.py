@@ -64,35 +64,49 @@ def _list_ids(tiles_shape, tile_size, tile_origin, ns, x0, y0, ct, st,
 def _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c, inv_s,
                chunk: int):
     """Beam-minor dense sweep. Ray args are (A, NBLK, BB); ids (A, NBLK).
-    Returns per-orientation minima (best_v, best_h)."""
+    Returns per-orientation minima (best_v, best_h), shaped (A, NBLK, BB).
+
+    The (agent, block) axes are flattened to ONE major axis G before the
+    sweep: with the 4D (A, NBLK, ck, BB) intermediates, a non-power-of-2
+    NBLK cost 1.6x (measured v5e: 1080 beams/9 blocks 1.09e9 true rays/s
+    vs 8 blocks 1.83e9 — XLA's layout handling of the odd middle dim);
+    flattening leaves the odd factor on a single major dim.
+    """
+    a_n, nblk, bb = jnp.shape(x)
+    gdim = a_n * nblk
+    flat = lambda v: v.reshape(gdim, bb)
+    x, y, cos_t, sin_t, inv_c, inv_s = map(
+        flat, (x, y, cos_t, sin_t, inv_c, inv_s))
+    ids = ids.reshape(gdim)
     k = table.shape[2]
-    best_v = jnp.full(jnp.shape(x), _BIG)
-    best_h = jnp.full(jnp.shape(x), _BIG)
+    best_v = jnp.full((gdim, bb), _BIG)
+    best_h = jnp.full((gdim, bb), _BIG)
     for lo_i, hi_i, vertical in ((0, kv_sec, True), (kv_sec, k, False)):
         best = best_v if vertical else best_h
         c0 = lo_i
         while c0 < hi_i:
             ck = min(chunk, hi_i - c0)
             g = jnp.take(table[:, :, c0:c0 + ck], ids, axis=0)
-            # g: (A, NBLK, 4, ck); beam-minor broadcast -> (A, NBLK, ck, BB)
-            p = g[:, :, 0, :, None]
-            lo = g[:, :, 1, :, None]
-            hi = g[:, :, 2, :, None]
+            # g: (G, 4, ck); beam-minor broadcast -> (G, ck, BB)
+            p = g[:, 0, :, None]
+            lo = g[:, 1, :, None]
+            hi = g[:, 2, :, None]
             if vertical:
-                t = (p - x[:, :, None, :]) * inv_c[:, :, None, :]
-                a = y[:, :, None, :] + t * sin_t[:, :, None, :]
+                t = (p - x[:, None, :]) * inv_c[:, None, :]
+                a = y[:, None, :] + t * sin_t[:, None, :]
             else:
-                t = (p - y[:, :, None, :]) * inv_s[:, :, None, :]
-                a = x[:, :, None, :] + t * cos_t[:, :, None, :]
+                t = (p - y[:, None, :]) * inv_s[:, None, :]
+                a = x[:, None, :] + t * cos_t[:, None, :]
             valid = (t >= 0.0) & ((a - lo) * (hi - a) >= 0.0)
             best = jnp.minimum(
-                best, jnp.min(jnp.where(valid, t, _BIG), axis=2))
+                best, jnp.min(jnp.where(valid, t, _BIG), axis=1))
             c0 += ck
         if vertical:
             best_v = best
         else:
             best_h = best
-    return best_v, best_h
+    unflat = lambda v: v.reshape(a_n, nblk, bb)
+    return unflat(best_v), unflat(best_h)
 
 
 def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,

@@ -93,8 +93,8 @@ def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
     if backend == "auto":
         # measured round 3 (TPU v5e, 4096x1080): the sector-culled XLA
         # sweep is the fastest exact path on both bundled maps — levine
-        # 1.06e9 rays/s fwd (vs 6.6e8 dense pallas), berlin 1.8e8 (vs
-        # 7.1e7 tiled XLA / 4.2e7 tiled pallas)
+        # 1.5e9 rays/s fwd (vs 6.1e8 dense pallas), berlin 2.0e8 (vs
+        # 7.1e7 tiled XLA / 4.1e7 tiled pallas); BASELINE.md round 3
         backend = "sectors"
     segmap = None
     if backend in ("segments", "segments_pallas"):
