@@ -242,13 +242,30 @@ def main():
             stage(f"{name}_sector", sec_once, (xbp, ybp, ctp, stp), REPS,
                   A * B)
 
-            # hardware parity gate: sector == dense exact on this batch
+            # hardware parity gate: sector == dense exact on this batch.
+            # Tables and rays ride as jit ARGUMENTS: closed-over arrays
+            # embed as constants in the compile payload, and berlin's
+            # 130 MB table overflows the remote-compile request (HTTP 413).
             @jax.jit
-            def parity():
-                r_s = sec_once(xbp, ybp, ctp, stp)[:, :B]
-                r_d = fwd_once(xb, yb, ct, st)
+            def parity(smap_a, table, tiles, a1, a2, a3, a4, b1, b2, b3,
+                       b4, sm=sm, use_tiles=use_tiles, x0=x0, y0=y0):
+                r_s = raycast_sectors(
+                    smap_a.table, smap_a.meta, smap_a.tiles_shape,
+                    smap_a.tile_size, smap_a.tile_origin, smap_a.ns,
+                    smap_a.kv_sec, x0, y0, a1, a2, a3, a4, 10.0, 128, 64,
+                    False, False)[:, :B]
+                if use_tiles:
+                    r_d = raycast_tiled_diff(
+                        tiles, sm.tiles_shape, sm.tile_size,
+                        sm.tile_origin, x0, y0, b1, b2, b3, b4, 10.0, 512,
+                        sm.kv_tile)
+                else:
+                    r_d = raycast_all_diff(table, b1, b2, b3, b4, 10.0,
+                                           1024, sm.kv)
                 return jnp.max(jnp.abs(r_s - r_d))
-            extra[f"{name}_sector_parity_maxabs"] = float(parity())
+            extra[f"{name}_sector_parity_maxabs"] = float(parity(
+                smap, sm.params, sm.tiles if use_tiles else sm.params,
+                xbp, ybp, ctp, stp, xb, yb, ct, st))
             _log(f"[bench] {name}_sector parity max|d| = "
                  f"{extra[f'{name}_sector_parity_maxabs']:.2e}")
         except Exception as e:
