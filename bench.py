@@ -466,6 +466,49 @@ def main():
         except Exception as e:
             _log(f"[bench] rollout stage ({backend}) failed: {e!r}")
 
+    # sharded step on the real chip (1-device mesh): records that the
+    # production shard_map path + overlap compiler options compile and run
+    # at speed on hardware (multi-chip is validated on the CPU fake mesh
+    # and by the driver's dryrun; this is the TPU-side throughput anchor).
+    try:
+        from pyracecarsimulator_tpu.parallel.mesh import (make_mesh,
+                                                          make_sharded_step)
+        mesh1 = make_mesh(jax.devices()[:1], agents_axis=1, beams_axis=1)
+        bundle_s = build_sim("levine", scan=ScanParams(num_beams=B),
+                             backend="sectors")
+        sstep = make_sharded_step(mesh1, bundle_s, with_noise=False)
+        m = load_builtin("levine")
+        x0, y0, *_ = ray_args(m)
+        s0 = state_from_pose(x0, y0, jnp.zeros(A))
+        act = (jnp.full((A,), 2.0), jnp.zeros(A))
+        _log("[bench] compiling sharded step (1-device mesh) ...")
+
+        def one_s():
+            t0 = time.perf_counter()
+            out = sstep(s0, act, None)
+            float(out.state.x[0])
+            return time.perf_counter() - t0
+
+        def three_s():
+            t0 = time.perf_counter()
+            o1 = sstep(s0, act, None)
+            o2 = sstep(s0, act, None)
+            o3 = sstep(s0, act, None)
+            float(o1.state.x[0] + o2.state.x[0] + o3.state.x[0])
+            return time.perf_counter() - t0
+
+        one_s()
+        t1 = min(one_s() for _ in range(3))
+        t3 = min(three_s() for _ in range(3))
+        dt = max((t3 - t1) / 2.0, 1e-9)
+        tm.records["sharded_step_1dev"] = {"t1_s": round(t1, 4),
+                                           "t3_s": round(t3, 4), "reps": 1}
+        results["sharded_step_1dev_rays_s"] = A * B / dt
+        _log(f"[bench] sharded_step_1dev rays/s = "
+             f"{results['sharded_step_1dev_rays_s']:.3e}")
+    except Exception as e:
+        _log(f"[bench] sharded step stage failed: {e!r}")
+
     for k, v in results.items():
         extra[k] = float(f"{v:.4g}")
     extra["timing"] = tm.records
