@@ -242,6 +242,20 @@ def main():
             stage(f"{name}_sector", sec_once, (xbp, ybp, ctp, stp), REPS,
                   A * B)
 
+            # grouped Pallas route over the same tables: per-list dynamic
+            # sweep bounds make the work MEAN-bound (berlin: 109 real vs
+            # K=496 padded slots the dense sweep pays), with grp ray rows
+            # per grid step to amortize the per-step DMA/control overhead
+            # that starved the 1-row kernel (docs/BOTTLENECK.md).
+            def sec_pal_once(xb, yb, ct, st, smap=smap, x0=x0, y0=y0):
+                d = xb[0, 0] - x0[0]
+                return raycast_sectors(
+                    smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
+                    smap.tile_origin, smap.ns, smap.kv_sec, x0 + d, y0 + d,
+                    xb, yb, ct, st, 10.0, 128, 64, True, False, 16)
+            stage(f"{name}_sector_pallas", sec_pal_once,
+                  (xbp, ybp, ctp, stp), REPS, A * B)
+
             # hardware parity gate: sector == dense exact on this batch.
             # Tables and rays ride as jit ARGUMENTS: closed-over arrays
             # embed as constants in the compile payload, and berlin's

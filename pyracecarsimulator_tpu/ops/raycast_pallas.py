@@ -53,12 +53,14 @@ RB = 8                # ray rows per inner tile -> (8, RB, 128) registers
 
 
 def _sweep_rows(seg_ref, lo, hi, o_perp, o_along, u_inv, u_along,
-                out_ref, seg_base=()):
+                out_ref, seg_base=(), row0=0):
     """One orientation sweep: segment rows [lo, hi) of ``seg_ref`` against
     the (ROWS, LANES) ray block, writing per-ray minima to ``out_ref``.
 
     seg_ref: (K, 4) rows [p, lo, hi, isv] (``seg_base`` prefixes the index
-    for the tiled (1, K, 4) layout). lo/hi are traced scalars.
+    for the tiled (1, K, 4) layout). lo/hi are traced scalars. ``row0``
+    offsets the output rows (the grouped kernel sweeps one ray row at a
+    time into a shared (GRP, LANES) output block).
     """
     k_rows = seg_ref.shape[len(seg_base)]
     nrows = o_perp.shape[0]
@@ -107,8 +109,8 @@ def _sweep_rows(seg_ref, lo, hi, o_perp, o_along, u_inv, u_along,
 
         init = jnp.full(shape, _BIG, jnp.float32)
         best = jax.lax.fori_loop(lo_g, hi_g, body, init)
-        out_ref[r0:r0 + rb, :] = jnp.min(best, axis=reduce_axis,
-                                         keepdims=(rb == 1))
+        out_ref[row0 + r0:row0 + r0 + rb, :] = jnp.min(
+            best, axis=reduce_axis, keepdims=(rb == 1))
 
 
 def _kernel(meta_ref, seg_ref, x_ref, y_ref, ct_ref, st_ref, ic_ref,
@@ -232,6 +234,88 @@ def _raycast_pallas_ids_raw(ids, meta, lists, x, y, cos_t, sin_t,
         interpret=interpret,
     )(ids, meta, seg_rows, x, y, cos_t, sin_t, inv_c, inv_s)
     return bv, bh
+
+
+def _make_kernel_grp(grp: int):
+    """Grouped per-list kernel: one grid step owns ``grp`` ray rows of 128
+    lanes, each routed to its OWN cull list (``grp`` block operands of the
+    same table, index-mapped by the prefetched ids). Amortizes the per-step
+    DMA/control overhead that starves the 1-row `_kernel_tiled` (measured
+    v5e, berlin sector path: 4.3e7 rays/s at 128 rays/step — ~3 us/step of
+    overhead against ~0.1 us of mean-bound sweep) while keeping the sweep
+    bound by each list's REAL length from the SMEM meta, not the padded
+    capacity the dense XLA sweep pays (berlin: mean 109 real vs K=496)."""
+
+    def kernel(tids_ref, tmeta_ref, *refs):
+        seg_refs = refs[:grp]
+        (x_ref, y_ref, ct_ref, st_ref, ic_ref, is_ref,
+         bv_ref, bh_ref) = refs[grp:]
+        i = pl.program_id(0)
+        x = x_ref[0]
+        y = y_ref[0]
+        ct = ct_ref[0]
+        st = st_ref[0]
+        inv_c = ic_ref[0]
+        inv_s = is_ref[0]
+        bv = bv_ref.at[0]
+        bh = bh_ref.at[0]
+        for j in range(grp):
+            tid = tids_ref[i * grp + j]
+            r = slice(j, j + 1)
+            _sweep_rows(seg_refs[j], 0, tmeta_ref[3 * tid], x[r], y[r],
+                        inv_c[r], st[r], bv, seg_base=(pl.ds(0, 1),),
+                        row0=j)
+            _sweep_rows(seg_refs[j], tmeta_ref[3 * tid + 1],
+                        tmeta_ref[3 * tid + 2], y[r], x[r], inv_s[r],
+                        ct[r], bh, seg_base=(pl.ds(0, 1),), row0=j)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("grp", "interpret"))
+def _raycast_pallas_ids_grp_raw(ids, meta, lists, x, y, cos_t, sin_t,
+                                inv_c, inv_s, grp: int = 8,
+                                interpret: bool = False):
+    """Grouped ids-routed Pallas raycast: ray row g (shape (G, 128)) sweeps
+    cull list ``ids[g]``; grid steps process ``grp`` rows each (see
+    _make_kernel_grp). ``lists`` is (L, 4, K); ``meta`` (L, 3) per-list
+    real-segment sweep bounds. Returns per-orientation minima (G, 128)."""
+    g_n = x.shape[0]
+    pad = (-g_n) % grp
+    if pad:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+        x, y, cos_t, sin_t, inv_c, inv_s, ids = map(
+            rep, (x, y, cos_t, sin_t, inv_c, inv_s, ids))
+    gg = (g_n + pad) // grp
+    shp = lambda a: a.reshape(gg, grp, LANES)
+    seg_rows = lists.transpose(0, 2, 1)       # (L, K, 4): see _kernel note
+    k = seg_rows.shape[1]
+    meta = jnp.ravel(meta)                    # 1D SMEM: see _kernel_tiled
+    ray_spec = pl.BlockSpec((1, grp, LANES), lambda i, ids, tm: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    seg_specs = [
+        pl.BlockSpec((1, k, 4),
+                     functools.partial(
+                         lambda i, ids, tm, j: (ids[i * grp + j], 0, 0),
+                         j=j),
+                     memory_space=pltpu.VMEM)
+        for j in range(grp)
+    ]
+    bv, bh = pl.pallas_call(
+        _make_kernel_grp(grp),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(gg,),
+            in_specs=seg_specs + [ray_spec] * 6,
+            out_specs=[ray_spec, ray_spec],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((gg, grp, LANES), jnp.float32)] * 2,
+        interpret=interpret,
+    )(ids, meta, *([seg_rows] * grp), shp(x), shp(y), shp(cos_t),
+      shp(sin_t), shp(inv_c), shp(inv_s))
+    unflat = lambda a: a.reshape(-1, LANES)[:g_n]
+    return unflat(bv), unflat(bh)
 
 
 def _raycast_pallas_tiled_raw(tiles, tile_sweep_meta, tiles_shape,

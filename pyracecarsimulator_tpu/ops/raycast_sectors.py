@@ -111,7 +111,7 @@ def _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c, inv_s,
 
 def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
               x0, y0, x, y, cos_t, sin_t, max_range, bb, chunk,
-              use_pallas, interpret):
+              use_pallas, interpret, grp):
     a_n, b_n = x.shape
     nblk = -(-b_n // bb)
     b_pad = nblk * bb - b_n
@@ -121,16 +121,20 @@ def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
     args = [_pad_beams(v, b_pad) for v in (x, y, cos_t, sin_t, inv_c,
                                            inv_s)]
     if use_pallas:
-        from .raycast_pallas import _raycast_pallas_ids_raw, LANES
+        from .raycast_pallas import _raycast_pallas_ids_grp_raw, LANES
         if bb % LANES:
             raise ValueError(
                 f"the Pallas sector path needs bb to be a multiple of "
                 f"{LANES} lanes (got bb={bb}); use the XLA path for "
                 "smaller blocks")
         rows = bb // LANES
-        flat = [v.reshape(a_n * nblk, rows, LANES) for v in args]
-        bv, bh = _raycast_pallas_ids_raw(ids.reshape(-1), meta, table,
-                                         *flat, interpret=interpret)
+        flat = [v.reshape(a_n * nblk * rows, LANES) for v in args]
+        ids_flat = ids.reshape(-1)
+        if rows > 1:
+            ids_flat = jnp.repeat(ids_flat, rows)
+        bv, bh = _raycast_pallas_ids_grp_raw(ids_flat, meta, table,
+                                             *flat, grp=grp,
+                                             interpret=interpret)
         bv = bv.reshape(a_n, nblk * bb)[:, :b_n]
         bh = bh.reshape(a_n, nblk * bb)[:, :b_n]
     else:
@@ -145,12 +149,12 @@ def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 13, 14,
-                                                    15, 16, 17))
+                                                    15, 16, 17, 18))
 def raycast_sectors(table, meta, tiles_shape, tile_size, tile_origin,
                     ns, kv_sec, x0, y0, x, y, cos_t, sin_t,
                     max_range: float = 10.0, bb: int = 128,
                     chunk: int = 64, use_pallas: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, grp: int = 8):
     """Differentiable sector-culled raycast; rays are (A, B).
 
     Values match ``raycast_all`` over the same boundary geometry (culling
@@ -163,23 +167,23 @@ def raycast_sectors(table, meta, tiles_shape, tile_size, tile_origin,
     """
     r, _, _ = _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin,
                         ns, kv_sec, x0, y0, x, y, cos_t, sin_t, max_range,
-                        bb, chunk, use_pallas, interpret)
+                        bb, chunk, use_pallas, interpret, grp)
     return r
 
 
 def _rs_fwd(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
             x0, y0, x, y, cos_t, sin_t, max_range, bb, chunk, use_pallas,
-            interpret):
+            interpret, grp):
     r, isv, hit = _fwd_impl(table, meta, tiles_shape, tile_size,
                             tile_origin, ns, kv_sec, x0, y0, x, y, cos_t,
                             sin_t, max_range, bb, chunk, use_pallas,
-                            interpret)
+                            interpret, grp)
     return r, (jnp.shape(table), jnp.shape(meta), jnp.shape(x0),
                r, isv, hit, cos_t, sin_t)
 
 
 def _rs_bwd(tiles_shape, tile_size, tile_origin, ns, kv_sec, max_range,
-            bb, chunk, use_pallas, interpret, res, g):
+            bb, chunk, use_pallas, interpret, grp, res, g):
     from .raycast_grad import _winner_vjp
     tshape, mshape, ashape, r, isv, hit, cos_t, sin_t = res
     gx, gy, gct, gst = _winner_vjp(r, isv, hit, cos_t, sin_t, g)
@@ -195,7 +199,8 @@ raycast_sectors.defvjp(_rs_fwd, _rs_bwd)
 def scan_poses_sectors(smap, poses, num_beams: int = 1080,
                        fov: float = 4.712388980384690, max_range=10.0,
                        theta_discretization: int = 0, bb=None,
-                       use_pallas=None, interpret=None) -> jnp.ndarray:
+                       use_pallas=None, interpret=None,
+                       grp: int = 8) -> jnp.ndarray:
     """Full lidar scans for poses (..., 3) via the sector backend.
 
     ``use_pallas=None`` picks the XLA dense sweep everywhere — measured on
@@ -245,7 +250,7 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
         smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
         smap.tile_origin, smap.ns, smap.kv_sec, poses2[:, 0], poses2[:, 1],
         xb, yb, ct, st, max_range, bb, 64, bool(use_pallas),
-        bool(interpret))[:, :num_beams]
+        bool(interpret), int(grp))[:, :num_beams]
     r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], smap.extent,
                           max_range)
     return r.reshape(*batch, num_beams)

@@ -104,11 +104,13 @@ def main():
                  for _ in range(3)) / max(reps // 2, 4)
         print(f"{label}_fwdbwd rays/s = {A * B / dt:.3e}", flush=True)
 
-    def sec_pallas(xb_, yb_, ct_, st_):
-        return raycast_sectors(
-            smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
-            smap.tile_origin, smap.ns, smap.kv_sec, x0, y0,
-            xb_, yb_, ct_, st_, 10.0, 128, 64, True, False)
+    def sec_pallas_g(grp):
+        def fn(xb_, yb_, ct_, st_):
+            return raycast_sectors(
+                smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
+                smap.tile_origin, smap.ns, smap.kv_sec, x0, y0,
+                xb_, yb_, ct_, st_, 10.0, 128, 64, True, False, grp)
+        return fn
 
     def sec_xla(xb_, yb_, ct_, st_):
         return raycast_sectors(
@@ -116,7 +118,10 @@ def main():
             smap.tile_origin, smap.ns, smap.kv_sec, x0, y0,
             xb_, yb_, ct_, st_, 10.0, 128, 64, False, False)
 
-    bench(sec_pallas, 20, f"{name}_sector_pallas")
+    grps = [int(g) for g in os.environ.get("SECTOR_GRPS", "8").split(",")]
+    for grp in grps:
+        bench(sec_pallas_g(grp), 20, f"{name}_sector_pallas_g{grp}")
+    sec_pallas = sec_pallas_g(grps[-1])
     bench(sec_xla, 20, f"{name}_sector_xla")
 
     if sm.tiles is not None:

@@ -72,6 +72,22 @@ def test_pallas_bitexact_vs_xla(blobby):
     assert np.array_equal(np.asarray(r_x), np.asarray(r_p))
 
 
+def test_pallas_group_size_invariance(blobby):
+    """The grouped kernel (one grid step = grp ray rows, each with its own
+    cull list) must be bit-exact vs the XLA sweep for any group size,
+    including grp that doesn't divide the row count (exercises the
+    replicated-row padding path: 24 poses x 5 blocks = 120 rows, grp=7
+    pads 6 rows)."""
+    occ, res, org, smap, segs, poses = blobby
+    r_x = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=128, use_pallas=False)
+    for grp in (1, 7, 16):
+        r_p = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                                 max_range=MAXR, bb=128, use_pallas=True,
+                                 interpret=True, grp=grp)
+        assert np.array_equal(np.asarray(r_x), np.asarray(r_p)), grp
+
+
 def test_block_size_invariance(blobby):
     """Culling is conservative for ANY block size within block_half:
     results must not depend on bb."""
