@@ -71,6 +71,15 @@ def _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c, inv_s,
     NBLK cost 1.6x (measured v5e: 1080 beams/9 blocks 1.09e9 true rays/s
     vs 8 blocks 1.83e9 — XLA's layout handling of the odd middle dim);
     flattening leaves the odd factor on a single major dim.
+
+    The cull rows are gathered ONCE per ray-block from the 2D-flattened
+    (L, 4K) table view — one contiguous row per list — and the
+    orientation chunks are static slices of the gathered buffer. The
+    previous per-chunk 3D column-sliced takes were the sweep's dominant
+    fixed cost (measured v5e, scripts/ablate_fixed.py: levine raw
+    1.31e9 -> 2.37e9 rays/s from this change alone; a gather-free
+    variant only reaches 2.53e9, so the 2D row gather itself is nearly
+    free).
     """
     a_n, nblk, bb = jnp.shape(x)
     gdim = a_n * nblk
@@ -79,6 +88,8 @@ def _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c, inv_s,
         flat, (x, y, cos_t, sin_t, inv_c, inv_s))
     ids = ids.reshape(gdim)
     k = table.shape[2]
+    g_all = jnp.take(table.reshape(table.shape[0], 4 * k), ids,
+                     axis=0).reshape(gdim, 4, k)
     best_v = jnp.full((gdim, bb), _BIG)
     best_h = jnp.full((gdim, bb), _BIG)
     for lo_i, hi_i, vertical in ((0, kv_sec, True), (kv_sec, k, False)):
@@ -86,7 +97,7 @@ def _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c, inv_s,
         c0 = lo_i
         while c0 < hi_i:
             ck = min(chunk, hi_i - c0)
-            g = jnp.take(table[:, :, c0:c0 + ck], ids, axis=0)
+            g = g_all[:, :, c0:c0 + ck]
             # g: (G, 4, ck); beam-minor broadcast -> (G, ck, BB)
             p = g[:, 0, :, None]
             lo = g[:, 1, :, None]
