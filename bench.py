@@ -1,5 +1,12 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE COMPACT JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+The stdout line is deliberately small (< ~1.2 KB): the driver records only
+a 2000-char tail of this process, and round 3's full-evidence line outgrew
+it (BENCH_r03.json ``parsed: null``). The complete record — every stage
+rate, parity gates, and the per-stage t1/t3/reps timing evidence that
+makes the arithmetic auditable — is written to ``BENCH_DETAIL.json`` at
+the repo root (committed; referenced from the stdout line as ``detail``).
 
 Headline metric: rays/s per chip, forward+backward, 1080-beam scans at 4096
 agents on the levine-class map (the reference's flagship configuration,
@@ -331,12 +338,15 @@ def main():
         _log(f"[bench] simplified stage failed: {e!r}")
 
     # differentiable-map path: bilinear DT march, cotangent INTO THE MAP
-    # (BASELINE.json configs[2] "∂range/∂map backward"). 512 agents — the
-    # march is gather-bound (CLAUDE.md); this stage records that honestly.
+    # (BASELINE.json configs[2] "∂range/∂map backward"). 128 agents — the
+    # march is gather-bound (CLAUDE.md) and runs at ~4e4 rays/s, so 10
+    # in-program reps (the round-4 evidence floor) need a small batch to
+    # keep the stage under ~2 min; rays/s is batch-size independent here
+    # (gather-bound, no amortization) and recorded per-ray as everywhere.
     try:
         from pyracecarsimulator_tpu.ops.raymarch_xla import scan_poses
         m = load_builtin("levine")
-        Ad, REPS_D = 512, 3
+        Ad, REPS_D = 128, 10
         x0d, y0d, *_ = ray_args(m, Ad)
         poses_d = jnp.stack([x0d, y0d, jnp.zeros(Ad)], -1)
         org = jnp.asarray((m.origin_x, m.origin_y), jnp.float32)
@@ -359,7 +369,7 @@ def main():
              "compiling ...")
         results["levine_dmap_fwdbwd"] = tm.rate(
             "levine_dmap_fwdbwd", dmap_loop, (m.edf, poses_d), REPS_D,
-            Ad * B)
+            Ad * B, k=1)
         _log(f"[bench] levine_dmap_fwdbwd rays/s = "
              f"{results['levine_dmap_fwdbwd']:.3e}")
     except Exception as e:
@@ -389,13 +399,13 @@ def main():
                 d = i.astype(jnp.float32) * 1e-7
                 l, g = jax.value_and_grad(loss)(edf, poses + d)
                 return acc + l + jnp.sum(g[:2, :2]), None
-            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(3))
+            acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(10))
             return acc
 
         _log("[bench] levine dmap implicit: compiling ...")
         results["levine_dmap_implicit_fwdbwd"] = tm.rate(
-            "levine_dmap_implicit_fwdbwd", imp_loop, (m.edf, poses_d), 3,
-            Ad * B)
+            "levine_dmap_implicit_fwdbwd", imp_loop, (m.edf, poses_d), 10,
+            Ad * B, k=2)
         _log(f"[bench] levine_dmap_implicit_fwdbwd rays/s = "
              f"{results['levine_dmap_implicit_fwdbwd']:.3e}")
 
@@ -484,9 +494,14 @@ def main():
     # production shard_map path + overlap compiler options compile and run
     # at speed on hardware (multi-chip is validated on the CPU fake mesh
     # and by the driver's dryrun; this is the TPU-side throughput anchor).
+    # Round 4: timed with the SAME in-program scanned-reps discipline as
+    # every other stage (round 3's reps=1 single-step difference was the
+    # one number outside it — VERDICT r3 weak #2). The rep loop chains the
+    # state through the step (a real rollout) and perturbs x per rep.
     try:
         from pyracecarsimulator_tpu.parallel.mesh import (make_mesh,
                                                           make_sharded_step)
+        from pyracecarsimulator_tpu.state import set_field
         mesh1 = make_mesh(jax.devices()[:1], agents_axis=1, beams_axis=1)
         bundle_s = build_sim("levine", scan=ScanParams(num_beams=B),
                              backend="sectors")
@@ -495,29 +510,27 @@ def main():
         x0, y0, *_ = ray_args(m)
         s0 = state_from_pose(x0, y0, jnp.zeros(A))
         act = (jnp.full((A,), 2.0), jnp.zeros(A))
+        SREPS = 10
+
+        # the inner jit's compiler options are dropped when traced into an
+        # outer jit — re-apply the overlap options to the rep loop itself
+        from pyracecarsimulator_tpu.parallel.flags import (
+            overlap_compiler_options)
+        import functools as _ft
+
+        @_ft.partial(jax.jit,
+                     compiler_options=overlap_compiler_options() or None)
+        def sloop(state, act):
+            def rep(st, i):
+                st = set_field(st, x=st.x + i.astype(jnp.float32) * 1e-7)
+                out = sstep(st, act, None)
+                return out.state, None
+            final, _ = jax.lax.scan(rep, state, jnp.arange(SREPS))
+            return final.x[0] + final.y[0]
+
         _log("[bench] compiling sharded step (1-device mesh) ...")
-
-        def one_s():
-            t0 = time.perf_counter()
-            out = sstep(s0, act, None)
-            float(out.state.x[0])
-            return time.perf_counter() - t0
-
-        def three_s():
-            t0 = time.perf_counter()
-            o1 = sstep(s0, act, None)
-            o2 = sstep(s0, act, None)
-            o3 = sstep(s0, act, None)
-            float(o1.state.x[0] + o2.state.x[0] + o3.state.x[0])
-            return time.perf_counter() - t0
-
-        one_s()
-        t1 = min(one_s() for _ in range(3))
-        t3 = min(three_s() for _ in range(3))
-        dt = max((t3 - t1) / 2.0, 1e-9)
-        tm.records["sharded_step_1dev"] = {"t1_s": round(t1, 4),
-                                           "t3_s": round(t3, 4), "reps": 1}
-        results["sharded_step_1dev_rays_s"] = A * B / dt
+        results["sharded_step_1dev_rays_s"] = tm.rate(
+            "sharded_step_1dev", sloop, (s0, act), SREPS, A * B)
         _log(f"[bench] sharded_step_1dev rays/s = "
              f"{results['sharded_step_1dev_rays_s']:.3e}")
     except Exception as e:
@@ -538,14 +551,40 @@ def main():
         headline = candidates[key]
         extra["headline_path"] = key
     else:
+        key = "levine_fwd"
         headline = results.get("levine_fwd", 0.0)
-    print(json.dumps({
+
+    # full evidence -> committed sidecar; stdout stays under the driver's
+    # 2000-char tail capture (module doc)
+    import os
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({"headline": float(f"{headline:.4g}"),
+                   "headline_path": key, "extra": extra}, f, indent=1,
+                  sort_keys=True)
+    _log(f"[bench] full evidence written to {detail_path}")
+
+    small_keys = ("levine_sector_fwd", "levine_sector_fwdbwd",
+                  "berlin_sector_fwd", "berlin_sector_fwdbwd",
+                  "env_steps_s_4096_sectors", "sharded_step_1dev_rays_s",
+                  "levine_dmap_hybrid_fwdbwd")
+    small = {k: extra[k] for k in small_keys if k in extra}
+    for k in ("levine_sector_parity_maxabs", "berlin_sector_parity_maxabs",
+              "device"):
+        if k in extra:
+            small[k] = extra[k]
+    small["headline_path"] = key
+    small["detail"] = "BENCH_DETAIL.json"
+    line = json.dumps({
         "metric": "rays/s/chip fwd+bwd (1080-beam, 4096 agents, levine)",
         "value": float(f"{headline:.4g}"),
         "unit": "rays/s",
         "vs_baseline": float(f"{headline / 1e9:.4g}"),
-        "extra": extra,
-    }))
+        "extra": small,
+    })
+    assert len(line) < 1500, f"stdout line {len(line)} chars (cap 1500)"
+    print(line)
 
 
 if __name__ == "__main__":
