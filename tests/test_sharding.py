@@ -202,6 +202,54 @@ def test_sharded_step_sector_backend(bundle, rng):
                                   np.asarray(out_ref.collision))
 
 
+def test_sharded_step_multi_track(bundle, rng):
+    """Multi-track stacked serving through the SHARDED step (VERDICT r3
+    #6): agents on different maps, one fused sweep, (agents, beams) mesh.
+    Ranges/collisions must match each map's own unsharded sector step."""
+    from pyracecarsimulator_tpu.maps.sectors import (build_sector_map,
+                                                     stack_sector_maps)
+    from pyracecarsimulator_tpu.maps.loader import build_track_map
+    # second track: same builder settings so the maps stack
+    h = w = 192
+    occ2 = np.zeros((h, w), np.float32)
+    occ2[:4, :] = 1; occ2[-4:, :] = 1; occ2[:, :4] = 1; occ2[:, -4:] = 1
+    occ2[40:60, 90:170] = 1
+    occ2[120:168, 30:80] = 1
+    track2 = build_track_map(occ2, 0.05, (-4.8, -4.8), name="small2")
+
+    def smap_of(track):
+        t = track
+        return build_sector_map(
+            np.asarray(t.occupancy)[: t.height, : t.width], t.resolution,
+            (t.origin_x, t.origin_y), max_range=10.0, tile_size=2.0,
+            ns=16, real_hw=(t.height, t.width))
+
+    stack = stack_sector_maps([smap_of(bundle.track), smap_of(track2)])
+    b_a = build_sim(bundle.track, scan=SCAN, backend="sectors")
+    b_b = build_sim(track2, scan=SCAN, backend="sectors")
+    mesh = make_mesh(agents_axis=4, beams_axis=2)
+    step_sh = make_sharded_step(mesh, b_a, with_noise=False, stack=stack)
+    poses_a = _poses(b_a, rng, 8)
+    poses_b = _poses(b_b, rng, 8)
+    poses = jnp.concatenate([poses_a, poses_b], axis=0)
+    map_ids = jnp.asarray([0] * 8 + [1] * 8, jnp.int32)
+    s0 = shard_state(mesh, state_from_pose(poses[:, 0], poses[:, 1],
+                                           poses[:, 2]))
+    action = (jnp.full((16,), 2.0), jnp.zeros(16))
+    out_sh = step_sh(s0, action, map_ids, None)
+    for b_ref, sl in ((b_a, slice(0, 8)), (b_b, slice(8, 16))):
+        step_ref = make_step_fn(b_ref, with_noise=False)
+        p = poses[sl]
+        out_ref = step_ref(state_from_pose(p[:, 0], p[:, 1], p[:, 2]),
+                           (action[0][sl], action[1][sl]), None)
+        np.testing.assert_allclose(np.asarray(out_sh.ranges)[sl],
+                                   np.asarray(out_ref.ranges), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_sh.collision)[sl],
+                                      np.asarray(out_ref.collision))
+        np.testing.assert_allclose(np.asarray(out_sh.state.x)[sl],
+                                   np.asarray(out_ref.state.x), atol=1e-6)
+
+
 def test_sharded_scan_sector_gradient(bundle, rng):
     """Sector sharded scan + its pose gradient match the dense unsharded
     reference (checks both the wedge-local block routing and the psum the
