@@ -128,6 +128,21 @@ def _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c, inv_s,
     k = table.shape[2]
     g_all = jnp.take(table.reshape(table.shape[0], 4 * k), ids,
                      axis=0).reshape(gdim, 4, k)
+    bv, bh = _sweep_gathered(g_all, kv_sec, x, y, cos_t, sin_t, inv_c,
+                             inv_s, chunk)
+    unflat = lambda v: v.reshape(a_n, nblk, bb)
+    return unflat(bv), unflat(bh)
+
+
+def _sweep_gathered(g_all, kv_sec, x, y, cos_t, sin_t, inv_c, inv_s,
+                    chunk: int):
+    """The dense sweep's compute over PRE-GATHERED cull rows: ``g_all``
+    (G, 4, K) is ray row g's cull list; ray args are (G, BB). Factored
+    out of ``_sweep_xla`` so sharded-map paths that assemble rows by
+    other means (the ring map-pass, parallel/ringmap.py) reuse the
+    identical arithmetic. Returns (best_v, best_h), each (G, BB)."""
+    gdim, bb = x.shape
+    k = g_all.shape[2]
     best_v = jnp.full((gdim, bb), _BIG)
     best_h = jnp.full((gdim, bb), _BIG)
     for lo_i, hi_i, vertical in ((0, kv_sec, True), (kv_sec, k, False)):
@@ -154,8 +169,7 @@ def _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c, inv_s,
             best_v = best
         else:
             best_h = best
-    unflat = lambda v: v.reshape(a_n, nblk, bb)
-    return unflat(best_v), unflat(best_h)
+    return best_v, best_h
 
 
 def _sweep_xla_sorted(table, meta, kv_sec, ids, x, y, cos_t, sin_t,
