@@ -263,6 +263,23 @@ def main():
             stage(f"{name}_sector_pallas", sec_pal_once,
                   (xbp, ybp, ctp, stp), REPS, A * B)
 
+            # round 4: the mean-bound length-sorted tiled sweep — work
+            # bound by per-tile max real list length instead of padded
+            # capacity (the attack on berlin's padding waste). Only worth
+            # running on large-capacity tables; levine's K=32 is
+            # fixed-cost-bound and the sort overhead would only lose.
+            if smap.table.shape[2] >= 128:
+                def sec_sorted_once(xb, yb, ct, st, smap=smap, x0=x0,
+                                    y0=y0):
+                    d = xb[0, 0] - x0[0]
+                    return raycast_sectors(
+                        smap.table, smap.meta, smap.tiles_shape,
+                        smap.tile_size, smap.tile_origin, smap.ns,
+                        smap.kv_sec, x0 + d, y0 + d, xb, yb, ct, st,
+                        10.0, 128, 32, False, False, 8, "sorted@64")
+                stage(f"{name}_sector_sorted", sec_sorted_once,
+                      (xbp, ybp, ctp, stp), REPS, A * B)
+
             # hardware parity gate: sector == dense exact on this batch.
             # Tables and rays ride as jit ARGUMENTS: closed-over arrays
             # embed as constants in the compile payload, and berlin's
@@ -567,6 +584,7 @@ def main():
 
     small_keys = ("levine_sector_fwd", "levine_sector_fwdbwd",
                   "berlin_sector_fwd", "berlin_sector_fwdbwd",
+                  "berlin_sector_sorted_fwd", "berlin_sector_sorted_fwdbwd",
                   "env_steps_s_4096_sectors", "sharded_step_1dev_rays_s",
                   "levine_dmap_hybrid_fwdbwd")
     small = {k: extra[k] for k in small_keys if k in extra}
