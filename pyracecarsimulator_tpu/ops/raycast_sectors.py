@@ -179,8 +179,13 @@ def _sweep_xla_sorted(table, meta, kv_sec, ids, x, y, cos_t, sin_t,
     length (~= the mean, after sorting) instead of the padded capacity K.
 
     The dense ``_sweep_xla`` pays K slots per ray — on berlin-class maps
-    4.4x the mean real list (109 vs K=496; docs/BOTTLENECK.md). This
-    variant recovers the mean bound with XLA-legal control flow:
+    well past the real need. Note the honest prize is the BATCH-visited
+    mean, not the table mean: rays concentrate in long-list (open
+    free-space) tiles, so berlin's visited lists average ~198 of K=496
+    (table mean 109) — predicted sorted-tile work ratio 0.40 of dense
+    (scripts/bench_sorted.py [batch] analysis), i.e. ~2.5x, not the 4.4x
+    the round-3 table-mean framing suggested. This variant recovers that
+    bound with XLA-legal control flow:
 
       1. gather each ray row's real V/H counts from ``meta`` (a leaf);
       2. sort ray rows by total count, descending (row gathers of the six
