@@ -78,6 +78,33 @@ def main():
     print(f"pose-gradient norms per track: "
           f"{[float(jnp.linalg.norm(g[i * per:(i + 1) * per])) for i in range(len(names))]}")
 
+    # sharded route (round 4): the full simulation step over a device
+    # mesh with per-agent map routing — the BASELINE configs[4] shape
+    # (a fleet training across a track distribution). Parity vs the
+    # per-map unsharded steps is locked by
+    # tests/test_sharding.py::test_sharded_step_multi_track.
+    from pyracecarsimulator_tpu.config import ScanParams
+    from pyracecarsimulator_tpu.parallel import (make_mesh,
+                                                 make_sharded_step,
+                                                 shard_state)
+    from pyracecarsimulator_tpu.simulator import build_sim
+    from pyracecarsimulator_tpu.state import state_from_pose
+    ndev = len(jax.devices())
+    mesh = make_mesh(agents_axis=ndev, beams_axis=1)
+    bundle = build_sim(tracks[0], scan=ScanParams(num_beams=args.beams),
+                       backend="sectors")
+    step = make_sharded_step(mesh, bundle, with_noise=False, stack=stack)
+    n = per * len(names)
+    s0 = shard_state(mesh, state_from_pose(poses[:, 0], poses[:, 1],
+                                           poses[:, 2]))
+    t0 = time.time()
+    out = step(s0, (jnp.full((n,), 2.0), jnp.zeros(n)), map_ids, None)
+    float(out.state.x[0])
+    print(f"sharded multi-track step on a {ndev}-device mesh: ranges "
+          f"{tuple(out.ranges.shape)}, "
+          f"{int(np.asarray(out.collision).sum())} collisions "
+          f"(compile+run {time.time() - t0:.1f}s)")
+
 
 if __name__ == "__main__":
     main()
