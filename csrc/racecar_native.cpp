@@ -197,4 +197,72 @@ int rc_extract_segments(const uint8_t* occ, int h, int w, double* out,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Sector-cull membership (maps/sectors.py::_membership, native tier).
+//
+// For each (map tile, angular sector) pair, mark the boundary segments
+// conservatively visible from anywhere in the tile in directions within
+// the sector, padded by parallax (asin(rt/d)) and the beam-block
+// half-width. Same geometry/proof obligation as the NumPy path; double
+// precision (the 1e-3 rad safety epsilon dwarfs both f32 and f64
+// rounding, so the conservative cover is preserved either way).
+//
+// segs: (k, 4) doubles [p, lo, hi, is_vertical]; out: (nr*nc*ns, k)
+// uint8, row = tile*ns + sector — the exact layout build_sector_map
+// consumes. Returns 0 on success.
+int rc_sector_membership(const double* segs, int k, int nr, int nc, int ns,
+                         double tile_size, double ox, double oy, double rt,
+                         double reach, double block_half, uint8_t* out) {
+  const double two_pi = 2.0 * M_PI;
+  const double wsec = two_pi / ns;
+  const int64_t t_n = static_cast<int64_t>(nr) * nc;
+  for (int64_t t = 0; t < t_n; ++t) {
+    const double cx = ox + (t % nc + 0.5) * tile_size;
+    const double cy = oy + (t / nc + 0.5) * tile_size;
+    uint8_t* row0 = out + t * ns * k;
+    for (int j = 0; j < k; ++j) {
+      const double p = segs[4 * j + 0];
+      const double lo = segs[4 * j + 1];
+      const double hi = segs[4 * j + 2];
+      const bool isv = segs[4 * j + 3] > 0.5;
+      // endpoints
+      const double axp = isv ? p : lo;
+      const double ayp = isv ? lo : p;
+      const double bxp = isv ? p : hi;
+      const double byp = isv ? hi : p;
+      // distance from tile center to the segment
+      const double along = isv ? cy : cx;
+      const double perp = isv ? cx : cy;
+      const double d_along =
+          std::max(std::max(lo - along, along - hi), 0.0);
+      const double d = std::hypot(d_along, std::fabs(perp - p));
+      if (d > reach) {
+        for (int s = 0; s < ns; ++s) row0[s * k + j] = 0;
+        continue;
+      }
+      // short-way arc between endpoint directions, padded
+      const double th1 = std::atan2(ayp - cy, axp - cx);
+      const double th2 = std::atan2(byp - cy, bxp - cx);
+      double diff = std::fmod(th2 - th1, two_pi);
+      if (diff < 0) diff += two_pi;
+      const bool flip = diff > M_PI;
+      const double arc_lo = flip ? th2 : th1;
+      const double width = flip ? two_pi - diff : diff;
+      const double par =
+          std::asin(std::min(1.0, rt / std::max(d, 1e-9)));
+      const double pad = par + block_half + 1e-3;
+      const double span = width + 2.0 * pad;
+      const bool full = (d <= rt) || (span >= two_pi - wsec);
+      const double lo_pad = arc_lo - pad;
+      for (int s = 0; s < ns; ++s) {
+        double rel = std::fmod(s * wsec - lo_pad, two_pi);
+        if (rel < 0) rel += two_pi;
+        row0[s * k + j] =
+            (full || rel <= span || rel >= two_pi - wsec) ? 1 : 0;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

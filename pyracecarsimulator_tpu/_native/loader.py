@@ -66,6 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rc_raycast_segments.restype = None
     lib.rc_extract_segments.argtypes = [u8, i, i, f64, i]
     lib.rc_extract_segments.restype = i
+    if hasattr(lib, "rc_sector_membership"):   # older cached .so: fallback
+        lib.rc_sector_membership.argtypes = [f64, i, i, i, i, d, d, d, d,
+                                             d, d, u8]
+        lib.rc_sector_membership.restype = i
     _lib = lib
     return _lib
 
@@ -122,6 +126,27 @@ def raycast_segments(segs: np.ndarray, xs, ys, cts, sts,
     lib.rc_raycast_segments(s, len(s), xs, cvt(ys), cvt(cts), cvt(sts), n,
                             float(max_range), out)
     return out
+
+
+def sector_membership(segs: np.ndarray, nr: int, nc: int, ns: int,
+                      tile_size: float, ox: float, oy: float, rt: float,
+                      reach: float,
+                      block_half: float) -> Optional[np.ndarray]:
+    """(nr*nc*ns, K) bool cull membership (maps/sectors._membership,
+    native tier: ~10x the NumPy broadcast on berlin-class builds), or
+    None if the library (or this entry point) is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rc_sector_membership"):
+        return None
+    s = np.ascontiguousarray(segs, np.float64)
+    k = len(s)
+    out = np.empty((nr * nc * ns, k), np.uint8)
+    rc = lib.rc_sector_membership(s, k, nr, nc, ns, float(tile_size),
+                                  float(ox), float(oy), float(rt),
+                                  float(reach), float(block_half), out)
+    if rc != 0:
+        return None
+    return out.view(bool)
 
 
 def extract_segments(occ: np.ndarray) -> Optional[np.ndarray]:

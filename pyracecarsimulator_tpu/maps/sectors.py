@@ -119,7 +119,18 @@ def _membership(segs: np.ndarray, nr: int, nc: int, ns: int,
     broadcasts the same geometry in ~1 s. float32 throughout (halves the
     working set; the 1e-3 rad safety epsilon in ``pad`` dwarfs f32
     rounding, so the conservative cover is preserved).
+
+    Native tier: ``csrc`` carries the same geometry as
+    ``rc_sector_membership`` (double precision — also inside the 1e-3
+    margin), cutting the berlin-class build ~3 s -> ~0.3 s; the NumPy
+    body below is the always-available fallback and the parity reference
+    (tests/test_native.py).
     """
+    from .._native import loader as _native
+    memb_n = _native.sector_membership(segs, nr, nc, ns, tile_size, ox,
+                                       oy, rt, reach, block_half)
+    if memb_n is not None:
+        return memb_n
     wsec = 2.0 * np.pi / ns
     sec_starts = (np.arange(ns) * wsec).astype(np.float32)
     ax, ay, bx, by = _seg_endpoints(segs)

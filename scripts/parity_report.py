@@ -92,6 +92,8 @@ def main():
                 sm.params, sm.sweep_meta, xb, yb, ct, st, 10.0, interp)),
             "sectors exact (XLA)": np.asarray(scan_poses_sectors(
                 smap, jp, num_beams=B)),
+            "sectors exact (sorted sweep)": np.asarray(scan_poses_sectors(
+                smap, jp, num_beams=B, mode="sorted")),
             "simplified tol=1 (XLA)": np.asarray(scan_poses_general(
                 gm, jp, num_beams=B)),
             "edf implicit (XLA)": np.asarray(scan_poses_implicit(
@@ -121,6 +123,8 @@ def main():
                    "segments exact (XLA)": ("geometry oracle", o_geom),
                    "segments exact (Pallas)": ("geometry oracle", o_geom),
                    "sectors exact (XLA)": ("geometry oracle", o_geom),
+                   "sectors exact (sorted sweep)": ("geometry oracle",
+                                                    o_geom),
                    "simplified tol=1 (XLA)": ("geometry oracle", o_geom),
                    "edf implicit (XLA)": ("geometry oracle", o_geom)}
         for bname, r in backends.items():

@@ -73,3 +73,34 @@ def test_scan_batch_matches_scalar(small_track, rng):
         ref = scan(edf, small_track.resolution, org, p, num_beams=32,
                    bounds_hw=bounds)
         np.testing.assert_allclose(batch[i], ref, atol=1e-5)
+
+
+def test_sector_membership_matches_numpy(small_track):
+    """Native rc_sector_membership == the NumPy _membership fallback,
+    entry for entry (same geometry; the 1e-3 rad pad epsilon dwarfs the
+    f32-vs-f64 rounding difference, so the covers coincide exactly on
+    non-degenerate maps)."""
+    from pyracecarsimulator_tpu._native import loader as nat
+    from pyracecarsimulator_tpu.maps import sectors as S
+    from pyracecarsimulator_tpu.maps.segments import extract_segments
+    if not nat.available() or nat.sector_membership(
+            np.zeros((1, 4)), 1, 1, 1, 1.0, 0, 0, 0.1, 1.0, 0.1) is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    t = small_track
+    occ = np.asarray(t.occupancy)[: t.height, : t.width]
+    segs = extract_segments(occ, t.resolution, (t.origin_x, t.origin_y))
+    nr = int(np.ceil(occ.shape[0] * t.resolution / 2.0))
+    nc = int(np.ceil(occ.shape[1] * t.resolution / 2.0))
+    rt = 2.0 * np.sqrt(2.0) / 2.0 + 2.0 * t.resolution
+    args = (segs, nr, nc, 16, 2.0, t.origin_x, t.origin_y, rt, 10.0 + rt,
+            0.285)
+    got = nat.sector_membership(*args)
+    # force the NumPy body (native path short-circuits inside _membership)
+    lib_save, fail_save = nat._lib, nat._load_failed
+    try:
+        nat._lib, nat._load_failed = None, True
+        ref = S._membership(*args)
+    finally:
+        nat._lib, nat._load_failed = lib_save, fail_save
+    np.testing.assert_array_equal(got, ref)
