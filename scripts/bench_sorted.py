@@ -89,7 +89,7 @@ def main():
           f"{np.percentile(n_of, 50):.0f} p90={np.percentile(n_of, 90):.0f}"
           f" max={n_of.max()} capacity={k_cap}", flush=True)
     s = np.sort(n_of)[::-1]
-    for tr in (32, 64, 128):
+    for tr in (64, 1024, 2048, 4096):
         tiles = s[: len(s) // tr * tr].reshape(-1, tr)
         work = tiles.max(1).sum() * tr
         print(f"[batch] sorted tile max work ratio tr={tr}: "
