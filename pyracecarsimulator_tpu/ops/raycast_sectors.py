@@ -338,8 +338,140 @@ def _sweep_xla_sorted(table, meta, kv_sec, ids, x, y, cos_t, sin_t,
     return bv[:g_n], bh[:g_n]
 
 
+def _sweep_xla_sorted_pt(table, meta, kv_sec, ids, x, y, cos_t, sin_t,
+                         inv_c, inv_s, chunk: int = 64,
+                         tile_rows: int = 2048, do_sort: bool = True,
+                         transpose_chunks: bool = False):
+    """Per-tile variant of the length-sorted sweep: ``lax.scan`` over row
+    tiles, a small-carry ``lax.while_loop`` per tile.
+
+    `_sweep_xla_sorted` min-accumulates every work item into the two
+    full (G, BB) output buffers via dynamic_update_slice on the
+    while-loop carry; measured on v5e that form reaches only ~50% of its
+    predicted work ratio (berlin: 2.65e8 vs an 0.43-ratio ideal of
+    ~5.4e8 — the per-iteration gap ~= one 19 MB buffer copy, i.e. XLA
+    materializes copy-on-write for the sliced carry updates). Here the
+    outer loop is a ``lax.scan`` whose per-tile (TR, BB) results are
+    written once by scan's output stacking, and the inner while-loop
+    carry is only the per-tile accumulators (TR, BB ~ 1 MB) updated by
+    FULL elementwise mins — nothing for XLA to copy-on-write.
+
+    Work bound, exactness and sorting are identical to
+    `_sweep_xla_sorted` (same chunk-count derivation from ``meta``, same
+    clamped final chunk, work never crosses the V/H boundary).
+
+    ``transpose_chunks=True`` stores each tile's gathered cull rows
+    slot-major — (K, 4, TR) instead of (TR, 4, K) — so the per-iteration
+    chunk slice is a MAJOR-axis dynamic_slice: contiguous and
+    vreg-aligned for every slot offset. The row-major form slices the
+    minor axis at 32/64-slot offsets of a 496-wide dim, which Mosaic can
+    only serve with lane relayouts (suspected source of the measured
+    ~40 us/iteration overhead; the A/B in scripts/bench_sorted.py
+    discriminates).
+    """
+    g_n, bb = x.shape
+    k = table.shape[2]
+    kv = int(kv_sec)
+    kh = k - kv
+    c_v = min(chunk, kv)
+    c_h = min(chunk, kh)
+    tr = tile_rows
+    nv = jnp.take(meta[:, 0], ids)
+    nh = jnp.take(meta[:, 2] - meta[:, 1], ids)
+    pad = (-g_n) % tr
+    if pad:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
+        x, y, cos_t, sin_t, inv_c, inv_s, ids = map(
+            rep, (x, y, cos_t, sin_t, inv_c, inv_s, ids))
+        z = jnp.zeros((pad,), nv.dtype)
+        nv = jnp.concatenate([nv, z])
+        nh = jnp.concatenate([nh, z])
+    gp = g_n + pad
+    if do_sort:
+        order = jnp.argsort(-(nv + nh))
+        take0 = lambda a: jnp.take(a, order, axis=0)
+        x, y, cos_t, sin_t, inv_c, inv_s, ids, nv, nh = map(
+            take0, (x, y, cos_t, sin_t, inv_c, inv_s, ids, nv, nh))
+    g_all = jnp.take(table.reshape(table.shape[0], 4 * k), ids,
+                     axis=0).reshape(gp, 4, k)
+    gt = gp // tr
+    tmax_v = jnp.max(nv.reshape(gt, tr), axis=1)
+    tmax_h = jnp.max(nh.reshape(gt, tr), axis=1)
+    nvc = -(-tmax_v // c_v)                      # per-tile V chunk counts
+    nhc = -(-tmax_h // c_h)
+    tile = lambda a: a.reshape((gt, tr) + a.shape[1:])
+    xs_t = tuple(map(tile, (x, y, cos_t, sin_t, inv_c, inv_s)))
+    g_tiles = tile(g_all)
+    if transpose_chunks:
+        g_tiles = g_tiles.transpose(0, 3, 2, 1)      # (gt, K, 4, tr)
+
+    big = jnp.full((tr, bb), _BIG)
+
+    def per_tile(_, xs):
+        (xs_, ys_, cts, sts, ics, iss), g_t, nvc_t, nhc_t = xs
+
+        def body(carry):
+            i, bv, bh = carry
+            is_v = i < nvc_t
+            j = jnp.where(is_v, i, i - nvc_t)
+            slot0 = jnp.where(is_v,
+                              jnp.minimum(j * c_v, kv - c_v),
+                              kv + jnp.minimum(j * c_h, kh - c_h))
+
+            def sweep(c_static):
+                o1 = jnp.where(is_v, xs_, ys_)
+                oi = jnp.where(is_v, ics, iss)
+                oa = jnp.where(is_v, ys_, xs_)
+                od = jnp.where(is_v, sts, cts)
+                if transpose_chunks:
+                    seg = jax.lax.dynamic_slice(
+                        g_t, (slot0, 0, 0), (c_static, 4, tr))
+                    p = seg[:, 0, :, None]           # (C, TR, 1)
+                    lo = seg[:, 1, :, None]
+                    hi = seg[:, 2, :, None]
+                    t_ = (p - o1[None]) * oi[None]   # (C, TR, BB)
+                    a_ = oa[None] + t_ * od[None]
+                    valid = (t_ >= 0.0) & ((a_ - lo) * (hi - a_) >= 0.0)
+                    return jnp.min(jnp.where(valid, t_, _BIG), axis=0)
+                seg = jax.lax.dynamic_slice(
+                    g_t, (0, 0, slot0), (tr, 4, c_static))
+                p = seg[:, 0, :, None]
+                lo = seg[:, 1, :, None]
+                hi = seg[:, 2, :, None]
+                t_ = (p - o1[:, None, :]) * oi[:, None, :]
+                a_ = oa[:, None, :] + t_ * od[:, None, :]
+                valid = (t_ >= 0.0) & ((a_ - lo) * (hi - a_) >= 0.0)
+                return jnp.min(jnp.where(valid, t_, _BIG), axis=1)
+
+            if c_v == c_h:
+                m = sweep(c_v)
+            else:
+                m = jax.lax.cond(is_v, lambda: sweep(c_v),
+                                 lambda: sweep(c_h))
+            bv = jnp.minimum(bv, jnp.where(is_v, m, _BIG))
+            bh = jnp.minimum(bh, jnp.where(is_v, _BIG, m))
+            return i + 1, bv, bh
+
+        _, bv, bh = jax.lax.while_loop(
+            lambda c: c[0] < nvc_t + nhc_t, body, (jnp.int32(0), big, big))
+        return None, (bv, bh)
+
+    _, (bv, bh) = jax.lax.scan(
+        per_tile, None,
+        (xs_t, g_tiles, nvc.astype(jnp.int32), nhc.astype(jnp.int32)))
+    bv = bv.reshape(gp, bb)
+    bh = bh.reshape(gp, bb)
+    if do_sort:
+        inv = jnp.argsort(order)
+        bv = jnp.take(bv, inv, axis=0)
+        bh = jnp.take(bh, inv, axis=0)
+    return bv[:g_n], bh[:g_n]
+
+
 def _parse_mode(mode: str):
     """"dense" | "sorted[@TR]" | "sorted_lazy[@TR]" | "sorted_nosort[@TR]"
+    | "sorted_pt[@TR]" | "sorted_pt_nosort[@TR]"
     -> (kind, tile_rows, do_sort, lazy_gather)."""
     tr = 64
     if "@" in mode:
@@ -353,6 +485,12 @@ def _parse_mode(mode: str):
         return "sorted", tr, True, True
     if mode == "sorted_nosort":
         return "sorted", tr, False, False
+    if mode == "sorted_pt":
+        return "sorted_pt", tr, True, False
+    if mode == "sorted_pt_nosort":
+        return "sorted_pt", tr, False, False
+    if mode == "sorted_ptt":
+        return "sorted_ptt", tr, True, False
     raise ValueError(f"unknown sector sweep mode {mode!r}")
 
 
@@ -368,12 +506,21 @@ def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
     args = [_pad_beams(v, b_pad) for v in (x, y, cos_t, sin_t, inv_c,
                                            inv_s)]
     kind, tile_rows, do_sort, lazy = _parse_mode(mode)
-    if kind == "sorted" and not use_pallas:
+    if kind in ("sorted", "sorted_pt", "sorted_ptt") and not use_pallas:
         flat = [v.reshape(a_n * nblk, bb) for v in args]
-        bv, bh = _sweep_xla_sorted(table, meta, kv_sec, ids.reshape(-1),
-                                   *flat, chunk=chunk,
-                                   tile_rows=tile_rows, do_sort=do_sort,
-                                   lazy_gather=lazy)
+        if kind in ("sorted_pt", "sorted_ptt"):
+            bv, bh = _sweep_xla_sorted_pt(table, meta, kv_sec,
+                                          ids.reshape(-1), *flat,
+                                          chunk=chunk,
+                                          tile_rows=tile_rows,
+                                          do_sort=do_sort,
+                                          transpose_chunks=(
+                                              kind == "sorted_ptt"))
+        else:
+            bv, bh = _sweep_xla_sorted(table, meta, kv_sec,
+                                       ids.reshape(-1), *flat,
+                                       chunk=chunk, tile_rows=tile_rows,
+                                       do_sort=do_sort, lazy_gather=lazy)
         bv = bv.reshape(a_n, -1)[:, :b_n]
         bh = bh.reshape(a_n, -1)[:, :b_n]
         r = jnp.minimum(jnp.minimum(bv, bh), max_range)

@@ -104,7 +104,9 @@ def test_pallas_bb256_rows2_bitexact(blobby):
 
 
 @pytest.mark.parametrize("mode", ["sorted", "sorted@32", "sorted_lazy",
-                                  "sorted_nosort"])
+                                  "sorted_nosort", "sorted_pt",
+                                  "sorted_pt@32", "sorted_pt_nosort",
+                                  "sorted_ptt", "sorted_ptt@32"])
 def test_sorted_sweep_bitexact_vs_dense(blobby, mode):
     """The mean-bound length-sorted tiled sweep (all variants) must be
     BIT-exact vs the dense capacity-bound sweep: same slots swept (chunk
