@@ -263,11 +263,13 @@ def main():
             stage(f"{name}_sector_pallas", sec_pal_once,
                   (xbp, ybp, ctp, stp), REPS, A * B)
 
-            # round 4: the mean-bound length-sorted tiled sweep — work
-            # bound by per-tile max real list length instead of padded
-            # capacity (the attack on berlin's padding waste). Only worth
-            # running on large-capacity tables; levine's K=32 is
-            # fixed-cost-bound and the sort overhead would only lose.
+            # round 4: the mean-bound ragged sorted-tile Pallas kernel —
+            # work bound by per-tile max real list length instead of
+            # padded capacity (closes berlin's padding waste; berlin
+            # 4.6e8 vs dense 2.3e8, docs/BOTTLENECK.md). This is what
+            # mode="auto" (the facade default) resolves to on
+            # large-capacity tables; levine's K=32 is fixed-cost-bound
+            # and stays dense.
             if smap.table.shape[2] >= 128:
                 def sec_sorted_once(xb, yb, ct, st, smap=smap, x0=x0,
                                     y0=y0):
@@ -276,7 +278,7 @@ def main():
                         smap.table, smap.meta, smap.tiles_shape,
                         smap.tile_size, smap.tile_origin, smap.ns,
                         smap.kv_sec, x0 + d, y0 + d, xb, yb, ct, st,
-                        10.0, 128, 32, False, False, 8, "sorted@64")
+                        10.0, 128, 24, False, False, 8, "sorted_pl@128")
                 stage(f"{name}_sector_sorted", sec_sorted_once,
                       (xbp, ybp, ctp, stp), REPS, A * B)
 

@@ -478,3 +478,173 @@ def _rp_bwd(max_range, interpret, res, g):
 
 
 raycast_pallas.defvjp(_rp_fwd, _rp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Ragged sorted-tile kernel: the mean-bound sector sweep as a Pallas
+# program per row tile.
+#
+# The XLA per-tile sorted sweep (raycast_sectors._sweep_xla_sorted_pt)
+# realises only ~60% of its work-ratio bound on v5e: a lax.while_loop
+# executes its chunk iterations strictly serially (slice -> sweep -> min
+# each iteration, no cross-iteration overlap), and the measured overhead
+# grows with both chunk count and tile size (BENCH notes in
+# docs/BOTTLENECK.md). This kernel owns the loop instead: one program
+# per SORTED row tile, per-tile chunk counts scalar-prefetched into
+# SMEM, and the (C, 4, TR) slot-major cull chunks double-buffered
+# HBM->VMEM with make_async_copy so the next chunk's DMA rides under the
+# current chunk's VPU sweep.
+#
+# Layout: everything lane-major in TR (rays (BB=128, TR), chunk
+# (C, 4, TR)) so a slot's [p, lo, hi] rows broadcast across the 128
+# beam sublanes with no relayout, and the dynamic slot index is served
+# by the DMA (Mosaic cannot lower dynamic lane-indexed vector loads).
+# ---------------------------------------------------------------------------
+
+
+def _make_sorted_tiles_kernel(c: int, kv: int, kh: int, tr: int):
+    big = _BIG
+
+    def kernel(ncs_ref, xr_ref, yr_ref, ct_ref, st_ref, ic_ref, is_ref,
+               g_hbm, bv_ref, bh_ref, seg_buf, sem):
+        t = pl.program_id(0)
+        nv = ncs_ref[t, 0]
+        nh = ncs_ref[t, 1]
+        n = nv + nh
+        bv_ref[0] = jnp.full((LANES, tr), big, jnp.float32)
+        bh_ref[0] = jnp.full((LANES, tr), big, jnp.float32)
+
+        def slot0_of(i):
+            # every term is a multiple of 8 (c and the kv/kh capacities
+            # are sublane multiples); Mosaic needs the proof hint for the
+            # sublane-dim DMA start into the (K, 4*TR) tiled source
+            iv = jnp.minimum(i * c, kv - c)
+            ih = kv + jnp.minimum((i - nv) * c, kh - c)
+            return pl.multiple_of(jnp.where(i < nv, iv, ih), 8)
+
+        def dma(i):
+            slot = jax.lax.rem(i, 2)
+            return pltpu.make_async_copy(
+                g_hbm.at[t, pl.ds(slot0_of(i), c)],
+                seg_buf.at[slot], sem.at[slot])
+
+        @pl.when(n > 0)
+        def _():
+            dma(0).start()
+
+        def body(i, carry):
+            @pl.when(i + 1 < n)
+            def _():
+                dma(i + 1).start()
+            dma(i).wait()
+            seg = seg_buf[jax.lax.rem(i, 2)]       # (C, 4, TR)
+            is_v = i < nv
+            # x/y ride as (1, TR) per-row constants (beams of a row share
+            # the agent position); the orientation-selected operands
+            # broadcast over the 128 beam sublanes inside the formulas
+            o1 = jnp.where(is_v, xr_ref[0], yr_ref[0])       # (1, TR)
+            oa = jnp.where(is_v, yr_ref[0], xr_ref[0])       # (1, TR)
+            oi = jnp.where(is_v, ic_ref[0], is_ref[0])       # (LANES, TR)
+            od = jnp.where(is_v, st_ref[0], ct_ref[0])
+            best = jnp.full((LANES, tr), big, jnp.float32)
+            for s in range(c):                     # static unroll
+                p = seg[s, 0, :][None]             # (1, TR) -> sublanes
+                lo = seg[s, 1, :][None]
+                hi = seg[s, 2, :][None]
+                t_ = (p - o1) * oi
+                a_ = oa + t_ * od
+                valid = (t_ >= 0.0) & ((a_ - lo) * (hi - a_) >= 0.0)
+                best = jnp.minimum(best, jnp.where(valid, t_, big))
+            bv_ref[0] = jnp.where(is_v, jnp.minimum(bv_ref[0], best),
+                                  bv_ref[0])
+            bh_ref[0] = jnp.where(is_v, bh_ref[0],
+                                  jnp.minimum(bh_ref[0], best))
+            return carry
+        jax.lax.fori_loop(0, n, body, 0)
+
+    return kernel
+
+
+def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x, y, cos_t,
+                              sin_t, inv_c, inv_s, chunk: int = 32,
+                              tile_rows: int = 1024,
+                              interpret: bool = False):
+    """Mean-bound sorted sector sweep, Pallas-executed. Drop-in for
+    raycast_sectors._sweep_xla_sorted_pt (same args minus do_sort; always
+    sorts): ray args (G, 128), ids (G,) rows into ``table`` (L, 4, K).
+    Returns (best_v, best_h) each (G, 128), bit-identical to the XLA
+    sweeps (same slots, same formulas, min idempotent under the clamped
+    final chunk).
+
+    Requires x/y constant along each row's 128 beams (true for the
+    sector layout: a row is one agent's beam block) — they ride into the
+    kernel as (1, TR) rows, a 16th of the VMEM of full blocks."""
+    g_n, bb = x.shape
+    if bb != LANES:
+        raise ValueError(f"sorted-tile kernel needs bb == {LANES}")
+    k = table.shape[2]
+    kv = int(kv_sec)
+    kh = k - kv
+    c = min(chunk, kv, kh)
+    if c % 8 or kv % 8 or kh % 8:
+        raise ValueError(
+            f"sorted-tile kernel needs sublane-multiple chunk/capacities "
+            f"(c={c}, kv={kv}, kh={kh}); build_sector_map pads capacities "
+            "to sublane multiples — pass a chunk that is a multiple of 8")
+    tr = tile_rows
+    nv = jnp.take(meta[:, 0], ids)
+    nh = jnp.take(meta[:, 2] - meta[:, 1], ids)
+    pad = (-g_n) % tr
+    if pad:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
+        x, y, cos_t, sin_t, inv_c, inv_s, ids = map(
+            rep, (x, y, cos_t, sin_t, inv_c, inv_s, ids))
+        z = jnp.zeros((pad,), nv.dtype)
+        nv = jnp.concatenate([nv, z])
+        nh = jnp.concatenate([nh, z])
+    gp = g_n + pad
+    order = jnp.argsort(-(nv + nh))
+    take0 = lambda a: jnp.take(a, order, axis=0)
+    x, y, cos_t, sin_t, inv_c, inv_s, ids, nv, nh = map(
+        take0, (x, y, cos_t, sin_t, inv_c, inv_s, ids, nv, nh))
+    gt = gp // tr
+    g_all = jnp.take(table.reshape(table.shape[0], 4 * k), ids,
+                     axis=0).reshape(gp, 4, k)
+    # keep the slot-major buffer 4D: a (gt, K, 4*TR) flattening re-tiles
+    # the last-two-dims layout (the K axis becomes sublane-tiled), which
+    # costs a physical relayout of the whole ~300 MB gather buffer AND a
+    # tile-strided chunk DMA source (measured v5e: 3.9e8 -> 3.4e8 rays/s)
+    g_tiles = g_all.reshape(gt, tr, 4, k).transpose(0, 3, 2, 1)
+    tmax_v = jnp.max(nv.reshape(gt, tr), axis=1)
+    tmax_h = jnp.max(nh.reshape(gt, tr), axis=1)
+    ncs = jnp.stack([-(-tmax_v // c), -(-tmax_h // c)],
+                    axis=1).astype(jnp.int32)
+    tp = lambda a: a.reshape(gt, tr, LANES).transpose(0, 2, 1)
+    rays = [tp(a) for a in (cos_t, sin_t, inv_c, inv_s)]
+    rows = [a[:, 0].reshape(gt, 1, tr) for a in (x, y)]
+
+    ray_spec = pl.BlockSpec((1, LANES, tr), lambda i, ncs: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, tr), lambda i, ncs: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bv, bh = pl.pallas_call(
+        _make_sorted_tiles_kernel(c, kv, kh, tr),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gt,),
+            in_specs=[row_spec] * 2 + [ray_spec] * 4
+            + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[ray_spec, ray_spec],
+            scratch_shapes=[pltpu.VMEM((2, c, 4, tr), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((gt, LANES, tr), jnp.float32)] * 2,
+        interpret=interpret,
+    )(ncs, *rows, *rays, g_tiles)
+    unt = lambda a: a.transpose(0, 2, 1).reshape(gp, LANES)
+    bv, bh = unt(bv), unt(bh)
+    inv = jnp.argsort(order)
+    bv = jnp.take(bv, inv, axis=0)
+    bh = jnp.take(bh, inv, axis=0)
+    return bv[:g_n], bh[:g_n]

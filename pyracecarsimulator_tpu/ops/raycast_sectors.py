@@ -469,6 +469,31 @@ def _sweep_xla_sorted_pt(table, meta, kv_sec, ids, x, y, cos_t, sin_t,
     return bv[:g_n], bh[:g_n]
 
 
+_AUTO_MIN_K = 192     # capacity where the mean-bound kernel beats dense
+_AUTO_TR = 128        # best of the measured v5e tile sweep (BOTTLENECK.md)
+_AUTO_CHUNK = 24
+
+
+def resolve_sector_mode(mode: str, k: int, bb: int) -> tuple:
+    """Resolve "auto" to a concrete (mode, chunk | None) for a table of
+    capacity ``k`` swept in ``bb``-beam blocks.
+
+    "auto" picks the ragged sorted-tile Pallas kernel
+    (raycast_pallas.sweep_sorted_tiles_pallas) when the capacity is large
+    enough that capacity-bound dense work dominates (measured v5e,
+    berlin K=496: dense 2.34e8 vs sorted_pl 3.9e8+ rays/s fwd; levine
+    K=32: dense wins — the sort/transpose overhead buys nothing at small
+    K), and only on a real TPU backend (in interpret mode the kernel is
+    orders slower than the XLA sweep). Everything else stays "dense".
+    """
+    if mode != "auto":
+        return mode, None
+    if (k >= _AUTO_MIN_K and bb == 128
+            and jax.default_backend() == "tpu"):
+        return f"sorted_pl@{_AUTO_TR}", _AUTO_CHUNK
+    return "dense", None
+
+
 def _parse_mode(mode: str):
     """"dense" | "sorted[@TR]" | "sorted_lazy[@TR]" | "sorted_nosort[@TR]"
     | "sorted_pt[@TR]" | "sorted_pt_nosort[@TR]"
@@ -491,6 +516,8 @@ def _parse_mode(mode: str):
         return "sorted_pt", tr, False, False
     if mode == "sorted_ptt":
         return "sorted_ptt", tr, True, False
+    if mode == "sorted_pl":
+        return "sorted_pl", tr, True, False
     raise ValueError(f"unknown sector sweep mode {mode!r}")
 
 
@@ -506,9 +533,15 @@ def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
     args = [_pad_beams(v, b_pad) for v in (x, y, cos_t, sin_t, inv_c,
                                            inv_s)]
     kind, tile_rows, do_sort, lazy = _parse_mode(mode)
-    if kind in ("sorted", "sorted_pt", "sorted_ptt") and not use_pallas:
+    if kind in ("sorted", "sorted_pt", "sorted_ptt", "sorted_pl") \
+            and not use_pallas:
         flat = [v.reshape(a_n * nblk, bb) for v in args]
-        if kind in ("sorted_pt", "sorted_ptt"):
+        if kind == "sorted_pl":
+            from .raycast_pallas import sweep_sorted_tiles_pallas
+            bv, bh = sweep_sorted_tiles_pallas(
+                table, meta, kv_sec, ids.reshape(-1), *flat, chunk=chunk,
+                tile_rows=tile_rows, interpret=interpret)
+        elif kind in ("sorted_pt", "sorted_ptt"):
             bv, bh = _sweep_xla_sorted_pt(table, meta, kv_sec,
                                           ids.reshape(-1), *flat,
                                           chunk=chunk,
@@ -612,15 +645,22 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
                        fov: float = 4.712388980384690, max_range=10.0,
                        theta_discretization: int = 0, bb=None,
                        use_pallas=None, interpret=None,
-                       grp: int = 8, mode: str = "dense") -> jnp.ndarray:
+                       grp: int = 8, mode: str = "auto") -> jnp.ndarray:
     """Full lidar scans for poses (..., 3) via the sector backend.
 
-    ``use_pallas=None`` picks the XLA dense sweep everywhere — measured on
-    TPU v5e (round 3, scripts/bench_sectors.py): berlin 4096x1080 sector
-    XLA 1.82e8 rays/s fwd vs sector Pallas 4.3e7 (with bb=128 each kernel
-    program owns a single (1, 128) ray block and a ~109-segment mean list,
-    so program/DMA overhead dominates; the batched XLA sweep amortizes it).
-    The Pallas route stays available for A/B and parity testing.
+    ``mode="auto"`` (default) resolves per table/backend
+    (resolve_sector_mode): large-capacity tables on a real TPU take the
+    ragged sorted-tile Pallas kernel (mean-bound work; berlin 3.9e8+ vs
+    dense 2.34e8 rays/s), everything else the dense XLA sweep. All modes
+    are value-identical (tests/test_sectors.py).
+
+    ``use_pallas=None`` keeps the per-(agent, block) ids-routed Pallas
+    kernel OFF — measured on TPU v5e (round 3, scripts/bench_sectors.py):
+    berlin 4096x1080 sector XLA 1.82e8 rays/s fwd vs that kernel 4.3e7
+    (each program owns a single (1, 128) ray block and a ~109-segment
+    mean list, so program/DMA overhead dominates). It stays available
+    for A/B and parity testing; the sorted-tile kernel (mode) is the
+    one that wins.
     """
     from .common import beam_angles, quantize_angles, apply_extent_mask
     if use_pallas is None:
@@ -628,6 +668,7 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bb = sector_block_width(smap, num_beams, fov, bb)
+    mode, auto_chunk = resolve_sector_mode(mode, smap.table.shape[2], bb)
     # Generate the beam fan at the PADDED width (edge-replicated offsets):
     # padding six (A, B) ray arrays inside the raycast instead costs real
     # HBM copies every scan — measured 46% of the flagship ray budget
@@ -649,8 +690,8 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     r = raycast_sectors(
         smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
         smap.tile_origin, smap.ns, smap.kv_sec, poses2[:, 0], poses2[:, 1],
-        xb, yb, ct, st, max_range, bb, 64, bool(use_pallas),
-        bool(interpret), int(grp), mode)[:, :num_beams]
+        xb, yb, ct, st, max_range, bb, auto_chunk or 64,
+        bool(use_pallas), bool(interpret), int(grp), mode)[:, :num_beams]
     r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], smap.extent,
                           max_range)
     return r.reshape(*batch, num_beams)

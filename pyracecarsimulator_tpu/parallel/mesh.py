@@ -86,7 +86,10 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
     if is_sector:
         smap = segments_or_map
         bb = _sector_bb(smap, num_beams, fov)
-        from ..ops.raycast_sectors import raycast_sectors
+        from ..ops.raycast_sectors import (raycast_sectors,
+                                           resolve_sector_mode)
+        sec_mode, sec_chunk = resolve_sector_mode(
+            "auto", smap.table.shape[2], bb)
 
     def shard_body(offs, poses):
         # poses: (A_loc, 3); offs: (B_loc,) this device's beam wedge
@@ -108,8 +111,8 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
             r = raycast_sectors(
                 smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
                 smap.tile_origin, smap.ns, smap.kv_sec, poses[:, 0],
-                poses[:, 1], xb, yb, ct, st, max_range, bb, 64, False,
-                False)[:, :b_loc]
+                poses[:, 1], xb, yb, ct, st, max_range, bb,
+                sec_chunk or 64, False, False, 8, sec_mode)[:, :b_loc]
             return apply_extent_mask(r, poses[:, 0], poses[:, 1],
                                      smap.extent, max_range)
         return raycast_all_diff(segments_or_map, xb, yb, ct, st, max_range,
@@ -174,9 +177,13 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
         if is_general:
             from ..ops.raycast_general import raycast_general as _rc_general
         if is_sector:
-            from ..ops.raycast_sectors import raycast_sectors as _rc_sectors
+            from ..ops.raycast_sectors import (raycast_sectors
+                                               as _rc_sectors,
+                                               resolve_sector_mode)
             smap = bundle.segmap
             bb = _sector_bb(smap, num_beams, float(sc.fov))
+            sec_mode, sec_chunk = resolve_sector_mode(
+                "auto", smap.table.shape[2], bb)
         else:
             seg_params = bundle.segmap.params
             seg_kv = getattr(bundle.segmap, "kv", 0)
@@ -235,8 +242,8 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
             ranges = _rc_sectors(
                 smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
                 smap.tile_origin, smap.ns, smap.kv_sec, sx, sy,
-                xb, yb, ct, st, float(sc.max_range), bb, 64, False,
-                False)[:, :b_loc]
+                xb, yb, ct, st, float(sc.max_range), bb,
+                sec_chunk or 64, False, False, 8, sec_mode)[:, :b_loc]
         elif is_general:
             ranges = _rc_general(seg_params, xb, yb, ct, st,
                                  float(sc.max_range))

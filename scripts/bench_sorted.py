@@ -159,8 +159,12 @@ def main():
     for spec in modes:
         mode, chunk = spec.rsplit(":", 1)
         fwdbwd = os.environ.get("FWDBWD", "0") == "1"
-        bench(f"{name}_{spec.replace(':', '_c').replace('@', '_tr')}",
-              mode, int(chunk), fwdbwd)
+        try:
+            bench(f"{name}_{spec.replace(':', '_c').replace('@', '_tr')}",
+                  mode, int(chunk), fwdbwd)
+        except Exception as e:
+            print(f"[bench] {spec} FAILED: {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
 
     # hardware parity gate: each measured mode vs dense, full batch
     @jax.jit

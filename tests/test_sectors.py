@@ -441,3 +441,43 @@ def test_multi_map_stack_matches_per_map(blobby, small_track):
     gm = np.asarray(jax.grad(loss_multi)(poses))
     gb = np.asarray(jax.grad(loss_b)(poses_b))
     np.testing.assert_allclose(gm[12:], gb, rtol=1e-5, atol=1e-5)
+
+@pytest.mark.parametrize("mode", ["sorted_pl@32", "sorted_pl@64"])
+def test_sorted_pl_kernel_bitexact_vs_dense(blobby, mode):
+    """The ragged sorted-tile Pallas kernel (interpret mode on CPU) must
+    be BIT-exact vs the dense sweep at the bb=128 flagship block width
+    (the kernel's lane layout): same slots swept, same formulas."""
+    occ, res, org, smap, segs, poses = blobby
+    r_d = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=128, mode="dense")
+    r_s = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=128, mode=mode,
+                             interpret=True)
+    assert np.array_equal(np.asarray(r_d), np.asarray(r_s)), mode
+
+
+def test_sorted_pl_grad_matches_dense(blobby):
+    occ, res, org, smap, segs, poses = blobby
+
+    def loss(mode, p):
+        return jnp.sum(scan_poses_sectors(
+            smap, p, num_beams=540, fov=FOV, max_range=MAXR, bb=128,
+            mode=mode, interpret=True) ** 2)
+
+    g_d = jax.grad(lambda p: loss("dense", p))(poses)
+    g_s = jax.grad(lambda p: loss("sorted_pl@64", p))(poses)
+    np.testing.assert_array_equal(np.asarray(g_d), np.asarray(g_s))
+
+
+def test_auto_mode_resolution():
+    """"auto" resolves to dense off-TPU (interpret kernels are orders
+    slower) and to the sorted-tile kernel only for large capacities at
+    the flagship block width on a TPU backend."""
+    from pyracecarsimulator_tpu.ops.raycast_sectors import (
+        resolve_sector_mode, _AUTO_MIN_K)
+    # this test runs CPU-pinned: auto must resolve to dense regardless
+    assert resolve_sector_mode("auto", 496, 128)[0] == "dense"
+    # explicit modes pass through untouched
+    assert resolve_sector_mode("sorted_pt@64", 496, 128) == \
+        ("sorted_pt@64", None)
+    assert resolve_sector_mode("dense", 32, 128) == ("dense", None)
