@@ -750,30 +750,61 @@ def scan_poses_sectors_mapgrad(smap, edf, resolution, origin_xy, poses,
     return r.reshape(*batch, num_beams)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 8, 9))
+def _ids_sweep(table, meta, ids, kv_sec, x, y, cos_t, sin_t, chunk,
+               mode, interpret):
+    """Shared sweep dispatch for the precomputed-ids path: ray args
+    (A, NBLK, BB). Returns (bv, bh) shaped (A, NBLK, BB)."""
+    from .raycast_segments import _ray_invs
+    inv_c, inv_s = _ray_invs(cos_t, sin_t)
+    kind, tile_rows, do_sort, lazy = _parse_mode(mode)
+    if kind == "dense":
+        return _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c,
+                          inv_s, chunk)
+    a_n, nblk, bb = jnp.shape(x)
+    flat = [v.reshape(a_n * nblk, bb)
+            for v in (x, y, cos_t, sin_t, inv_c, inv_s)]
+    if kind == "sorted_pl":
+        from .raycast_pallas import sweep_sorted_tiles_pallas
+        bv, bh = sweep_sorted_tiles_pallas(
+            table, meta, kv_sec, ids.reshape(-1), *flat, chunk=chunk,
+            tile_rows=tile_rows, interpret=interpret)
+    elif kind in ("sorted_pt", "sorted_ptt"):
+        bv, bh = _sweep_xla_sorted_pt(
+            table, meta, kv_sec, ids.reshape(-1), *flat, chunk=chunk,
+            tile_rows=tile_rows, do_sort=do_sort,
+            transpose_chunks=(kind == "sorted_ptt"))
+    else:
+        bv, bh = _sweep_xla_sorted(
+            table, meta, kv_sec, ids.reshape(-1), *flat, chunk=chunk,
+            tile_rows=tile_rows, do_sort=do_sort, lazy_gather=lazy)
+    unflat = lambda v: v.reshape(a_n, nblk, bb)
+    return unflat(bv), unflat(bh)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 8, 9, 10, 11))
 def raycast_sectors_ids(table, meta, ids, kv_sec, x, y, cos_t, sin_t,
-                        max_range: float = 10.0, chunk: int = 64):
+                        max_range: float = 10.0, chunk: int = 64,
+                        mode: str = "dense", interpret: bool = False):
     """Sector sweep over PRECOMPUTED list ids (multi-map serving path).
 
     ray args are (A, NBLK, BB); ``ids`` (A, NBLK) rows into ``table``.
     Same values/VJP as ``raycast_sectors`` — only the id routing differs
-    (per-agent map offsets, maps/sectors.StackedSectorMap). Returns
-    (A, NBLK*BB) clamped ranges.
+    (per-agent map offsets, maps/sectors.StackedSectorMap). ``mode``
+    takes the same sweep family as ``raycast_sectors`` (the sorted-tile
+    kernel works unchanged here: ids are already rows into the stacked
+    table, so multi-track batches sort/tile across ALL their maps at
+    once). Returns (A, NBLK*BB) clamped ranges.
     """
-    from .raycast_segments import _ray_invs
-    inv_c, inv_s = _ray_invs(cos_t, sin_t)
-    bv, bh = _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c,
-                        inv_s, chunk)
+    bv, bh = _ids_sweep(table, meta, ids, kv_sec, x, y, cos_t, sin_t,
+                        chunk, mode, interpret)
     a_n = x.shape[0]
     return jnp.minimum(jnp.minimum(bv, bh), max_range).reshape(a_n, -1)
 
 
 def _rsi_fwd(table, meta, ids, kv_sec, x, y, cos_t, sin_t, max_range,
-             chunk):
-    from .raycast_segments import _ray_invs
-    inv_c, inv_s = _ray_invs(cos_t, sin_t)
-    bv, bh = _sweep_xla(table, kv_sec, ids, x, y, cos_t, sin_t, inv_c,
-                        inv_s, chunk)
+             chunk, mode, interpret):
+    bv, bh = _ids_sweep(table, meta, ids, kv_sec, x, y, cos_t, sin_t,
+                        chunk, mode, interpret)
     a_n = x.shape[0]
     r = jnp.minimum(jnp.minimum(bv, bh), max_range).reshape(a_n, -1)
     isv = (bv <= bh).reshape(a_n, -1)
@@ -782,7 +813,7 @@ def _rsi_fwd(table, meta, ids, kv_sec, x, y, cos_t, sin_t, max_range,
                jnp.shape(x), r, isv, hit, cos_t, sin_t)
 
 
-def _rsi_bwd(kv_sec, max_range, chunk, res, g):
+def _rsi_bwd(kv_sec, max_range, chunk, mode, interpret, res, g):
     from .raycast_grad import _winner_vjp
     tshape, mshape, ishape, rshape, r, isv, hit, cos_t, sin_t = res
     gx, gy, gct, gst = _winner_vjp(
@@ -831,15 +862,21 @@ def stack_block_ids(stack, mid, x0, y0, ct, st, b_real: int, bb: int):
 def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
                              fov: float = 4.712388980384690,
                              max_range=10.0, theta_discretization: int = 0,
-                             bb=None) -> jnp.ndarray:
+                             bb=None, mode: str = "auto",
+                             interpret=None) -> jnp.ndarray:
     """Multi-track batched scan: agent i scans on map ``map_ids[i]``.
 
     ``stack``: maps/sectors.StackedSectorMap. One fused sweep serves the
     whole agent batch across all stacked tracks — per-agent map routing is
     a handful of O(agents) scalar gathers on top of the single-map path.
+    ``mode="auto"`` resolves exactly as ``scan_poses_sectors`` (the
+    sorted-tile kernel for large-capacity stacks on a real TPU).
     """
     from .common import beam_angles, quantize_angles
     bb = sector_block_width(stack, num_beams, fov, bb)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mode, auto_chunk = resolve_sector_mode(mode, stack.table.shape[2], bb)
     nblk = -(-num_beams // bb)
     b_pad = nblk * bb - num_beams
     poses = jnp.asarray(poses)
@@ -862,7 +899,7 @@ def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
     r = raycast_sectors_ids(
         stack.table, stack.meta, ids, stack.kv_sec, xb.reshape(shp),
         yb.reshape(shp), ct.reshape(shp), st.reshape(shp), max_range,
-        64)[:, :num_beams]
+        auto_chunk or 64, mode, bool(interpret))[:, :num_beams]
     # per-agent extent mask (reference out-of-map => max_range)
     r = jnp.where(inside[:, None], r, max_range)
     return r.reshape(*batch, num_beams)

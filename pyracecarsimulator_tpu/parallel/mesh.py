@@ -167,8 +167,11 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
         from ..ops.raycast_sectors import (raycast_sectors_ids
                                            as _rc_sectors_ids,
                                            stack_block_ids
-                                           as _stack_ids)
+                                           as _stack_ids,
+                                           resolve_sector_mode)
         bb = _sector_bb(stack, num_beams, float(sc.fov))
+        sec_mode, sec_chunk = resolve_sector_mode(
+            "auto", stack.table.shape[2], bb)
     else:
         if bundle.segmap is None:
             raise ValueError("sharded step needs the segment backend")
@@ -235,7 +238,8 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
             ranges = _rc_sectors_ids(
                 stack.table, stack.meta, ids, stack.kv_sec,
                 xb.reshape(shp), yb.reshape(shp), ct.reshape(shp),
-                st.reshape(shp), float(sc.max_range), 64)[:, :b_loc]
+                st.reshape(shp), float(sc.max_range), sec_chunk or 64,
+                sec_mode)[:, :b_loc]
             ranges = jnp.where(inside[:, None], ranges,
                                float(sc.max_range))
         elif is_sector:

@@ -481,3 +481,38 @@ def test_auto_mode_resolution():
     assert resolve_sector_mode("sorted_pt@64", 496, 128) == \
         ("sorted_pt@64", None)
     assert resolve_sector_mode("dense", 32, 128) == ("dense", None)
+
+
+def test_multi_map_sorted_pl_bitexact(blobby, small_track):
+    """The sorted-tile kernel through the PRECOMPUTED-ids multi-track
+    path: sorting/tiling across a cross-map agent batch must reproduce
+    the dense multi sweep bit-exactly (ids are rows into the stacked
+    table, so the kernel needs no multi-awareness)."""
+    from pyracecarsimulator_tpu.maps.sectors import stack_sector_maps
+    from pyracecarsimulator_tpu.ops.raycast_sectors import (
+        scan_poses_sectors_multi)
+    occ, res, org, smap_a, segs, poses_a = blobby
+    t = small_track
+    occ_b = np.asarray(t.occupancy)[: t.height, : t.width]
+    smap_b = build_sector_map(occ_b, t.resolution,
+                              (t.origin_x, t.origin_y), max_range=MAXR,
+                              tile_size=1.0, ns=8, block_half=0.62,
+                              real_hw=(t.height, t.width))
+    stack = stack_sector_maps([smap_a, smap_b])
+    rng = np.random.RandomState(3)
+    edf = np.asarray(t.edf)[: t.height, : t.width]
+    ys, xs = np.where(edf > 0.4)
+    k = rng.randint(len(ys), size=12)
+    pb = np.stack([t.origin_x + (xs[k] + .5) * t.resolution,
+                   t.origin_y + (ys[k] + .5) * t.resolution,
+                   rng.uniform(-np.pi, np.pi, 12)], -1)
+    poses = jnp.concatenate([poses_a[:12],
+                             jnp.asarray(pb, jnp.float32)], axis=0)
+    map_ids = jnp.asarray([0] * 12 + [1] * 12, jnp.int32)
+    kw = dict(num_beams=540, fov=FOV, max_range=MAXR, bb=128)
+    r_d = scan_poses_sectors_multi(stack, map_ids, poses, mode="dense",
+                                   **kw)
+    r_s = scan_poses_sectors_multi(stack, map_ids, poses,
+                                   mode="sorted_pl@64", interpret=True,
+                                   **kw)
+    np.testing.assert_array_equal(np.asarray(r_d), np.asarray(r_s))
