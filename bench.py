@@ -524,7 +524,8 @@ def main():
         mesh1 = make_mesh(jax.devices()[:1], agents_axis=1, beams_axis=1)
         bundle_s = build_sim("levine", scan=ScanParams(num_beams=B),
                              backend="sectors")
-        sstep = make_sharded_step(mesh1, bundle_s, with_noise=False)
+        sstep = make_sharded_step(mesh1, bundle_s, with_noise=False,
+                                  compiler_opts=False)
         m = load_builtin("levine")
         x0, y0, *_ = ray_args(m)
         s0 = state_from_pose(x0, y0, jnp.zeros(A))

@@ -72,6 +72,13 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
     pose cotangents are partial sums over the beam wedge, summed by XLA via
     psum on the 'beams' axis — the "gradient all-reduce" of BASELINE.json,
     here placed automatically by shard_map's reverse-mode transpose).
+
+    The map rides through shard_map as a REPLICATED traced argument (read
+    from ``map_cell["map"]`` at call time, like the facade's
+    ``make_scan_fn``): closing over it instead embeds the table as a
+    compile-time constant — a retrace on every obstacle swap, and on the
+    axon remote-compile tunnel a hard failure for berlin-class tables
+    (~130 MB constants overflow the compile payload, HTTP 413; CLAUDE.md).
     """
     from jax import shard_map
     from ..maps.sectors import SectorSegmentMap
@@ -83,15 +90,15 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
                          f"beams mesh axis {nb_shards}")
     offs_full = beam_angles(num_beams, fov)
     is_sector = isinstance(segments_or_map, SectorSegmentMap)
+    map_cell = {"map": segments_or_map}
     if is_sector:
-        smap = segments_or_map
-        bb = _sector_bb(smap, num_beams, fov)
+        bb = _sector_bb(segments_or_map, num_beams, fov)
         from ..ops.raycast_sectors import (raycast_sectors,
                                            resolve_sector_mode)
         sec_mode, sec_chunk = resolve_sector_mode(
-            "auto", smap.table.shape[2], bb)
+            "auto", segments_or_map.table.shape[2], bb)
 
-    def shard_body(offs, poses):
+    def shard_body(m, offs, poses):
         # poses: (A_loc, 3); offs: (B_loc,) this device's beam wedge
         x = poses[:, 0:1]
         y = poses[:, 1:2]
@@ -109,28 +116,34 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
         yb = jnp.broadcast_to(y, ang.shape)
         if is_sector:
             r = raycast_sectors(
-                smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
-                smap.tile_origin, smap.ns, smap.kv_sec, poses[:, 0],
+                m.table, m.meta, m.tiles_shape, m.tile_size,
+                m.tile_origin, m.ns, m.kv_sec, poses[:, 0],
                 poses[:, 1], xb, yb, ct, st, max_range, bb,
                 sec_chunk or 64, False, False, 8, sec_mode)[:, :b_loc]
             return apply_extent_mask(r, poses[:, 0], poses[:, 1],
-                                     smap.extent, max_range)
-        return raycast_all_diff(segments_or_map, xb, yb, ct, st, max_range,
+                                     m.extent, max_range)
+        return raycast_all_diff(m, xb, yb, ct, st, max_range,
                                 1024, kv)
 
     fn = shard_map(shard_body, mesh=mesh,
-                   in_specs=(P("beams"), P("agents", None)),
+                   in_specs=(P(), P("beams"), P("agents", None)),
                    out_specs=P("agents", "beams"), check_vma=False)
 
     def scan(poses):
-        return fn(offs_full, poses)
+        return fn(map_cell["map"], offs_full, poses)
 
     return scan
 
 
 def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
-                      stack=None):
+                      stack=None, compiler_opts: bool = True):
     """Sharded full simulation step over (agents, beams).
+
+    ``compiler_opts=False`` skips the latency-hiding compiler options on
+    the step's jit: required when the caller traces the step INTO an
+    outer jit (e.g. a scanned training/timing loop — JAX rejects
+    compiler_options on nested jits); apply the options to the outer jit
+    instead (parallel/flags.overlap_compiler_options).
 
     Dynamics and TTC run agent-parallel; the scan is beam-sharded; the TTC
     any-beam reduction crosses the beam axis with a psum inside shard_map.
@@ -198,10 +211,15 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
 
     from ..ops.common import quantize_angles, apply_extent_mask
     theta_disc = (int(sc.theta_discretization) if sc.use_theta_table else 0)
-    extent = bundle.segmap.extent if not is_stack else None
+    # the map pytree (stack / sector map / segment map) rides through
+    # shard_map as a REPLICATED traced argument, never a closure: a
+    # closed-over table compiles in as a constant — retrace on obstacle
+    # swap, and berlin-class tables overflow the axon remote-compile
+    # payload (HTTP 413; CLAUDE.md)
+    map_cell = {"map": stack if is_stack else bundle.segmap}
 
-    def shard_body(offs, cosines, car_dists, state, v_des, steer_des, key,
-                   mid):
+    def shard_body(m, offs, cosines, car_dists, state, v_des, steer_des,
+                   key, mid):
         # Everything here sees the LOCAL agent slab + local beam wedge.
         accel, steer_vel = dyn.process_input(v_des, steer_des, state, car,
                                              kp=sim.speed_kp)
@@ -232,11 +250,11 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
         xb = jnp.broadcast_to(sx[:, None], ang.shape)
         yb = jnp.broadcast_to(sy[:, None], ang.shape)
         if is_stack:
-            ids, inside = _stack_ids(stack, mid, sx, sy, ct, st, b_loc, bb)
+            ids, inside = _stack_ids(m, mid, sx, sy, ct, st, b_loc, bb)
             a_loc = ct.shape[0]
             shp = (a_loc, ct.shape[1] // bb, bb)
             ranges = _rc_sectors_ids(
-                stack.table, stack.meta, ids, stack.kv_sec,
+                m.table, m.meta, ids, m.kv_sec,
                 xb.reshape(shp), yb.reshape(shp), ct.reshape(shp),
                 st.reshape(shp), float(sc.max_range), sec_chunk or 64,
                 sec_mode)[:, :b_loc]
@@ -244,18 +262,18 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
                                float(sc.max_range))
         elif is_sector:
             ranges = _rc_sectors(
-                smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
-                smap.tile_origin, smap.ns, smap.kv_sec, sx, sy,
+                m.table, m.meta, m.tiles_shape, m.tile_size,
+                m.tile_origin, m.ns, m.kv_sec, sx, sy,
                 xb, yb, ct, st, float(sc.max_range), bb,
                 sec_chunk or 64, False, False, 8, sec_mode)[:, :b_loc]
         elif is_general:
-            ranges = _rc_general(seg_params, xb, yb, ct, st,
+            ranges = _rc_general(m.params, xb, yb, ct, st,
                                  float(sc.max_range))
         else:
-            ranges = raycast_all_diff(seg_params, xb, yb, ct, st,
+            ranges = raycast_all_diff(m.params, xb, yb, ct, st,
                                       float(sc.max_range), 1024, seg_kv)
         if not is_stack:
-            ranges = apply_extent_mask(ranges, sx, sy, extent,
+            ranges = apply_extent_mask(ranges, sx, sy, m.extent,
                                        float(sc.max_range))
         if with_noise and key is not None:
             kl = jax.random.fold_in(key, jax.lax.axis_index("beams")
@@ -281,7 +299,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
     state_spec = P("agents")
     fn = shard_map(
         shard_body, mesh=mesh,
-        in_specs=(P("beams"), P("beams"), P("beams"), state_spec,
+        in_specs=(P(), P("beams"), P("beams"), P("beams"), state_spec,
                   P("agents"), P("agents"), P(), P("agents")),
         out_specs=StepOutput(ranges=P("agents", "beams"),
                              collision=state_spec,
@@ -293,27 +311,33 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
     # the transpose-inserted gradient psum overlap backward compute
     # (parallel/flags.py; no-op dict elsewhere).
     from .flags import overlap_compiler_options
-    opts = overlap_compiler_options()
+    opts = overlap_compiler_options() if compiler_opts else {}
 
     if is_stack:
         @functools.partial(jax.jit, compiler_options=opts or None)
-        def step(state, action, map_ids, key=None):
+        def _step(m, state, action, map_ids, key):
             v_des, steer_des = action
             if key is None:
                 key = jax.random.PRNGKey(0)
-            return fn(offs_full, cos_full, dist_full, state, v_des,
+            return fn(m, offs_full, cos_full, dist_full, state, v_des,
                       steer_des, key, jnp.asarray(map_ids, jnp.int32))
+
+        def step(state, action, map_ids, key=None):
+            return _step(map_cell["map"], state, action, map_ids, key)
         return step
 
     @functools.partial(jax.jit, compiler_options=opts or None)
-    def step(state, action, key=None):
+    def _step(m, state, action, key):
         v_des, steer_des = action
         if key is None:
             key = jax.random.PRNGKey(0)
         # the mid arg only routes the stacked path; a zeros placeholder
         # keeps ONE shard_body signature for both modes
-        return fn(offs_full, cos_full, dist_full, state, v_des, steer_des,
-                  key, jnp.zeros(jnp.shape(state.x), jnp.int32))
+        return fn(m, offs_full, cos_full, dist_full, state, v_des,
+                  steer_des, key, jnp.zeros(jnp.shape(state.x), jnp.int32))
+
+    def step(state, action, key=None):
+        return _step(map_cell["map"], state, action, key)
 
     return step
 

@@ -118,6 +118,10 @@ def main():
                 "segments exact (Pallas full/tiled, 1080b)": np.asarray(
                     scan_poses_pallas(sm, jp, num_beams=1080,
                                       interpret=interp)),
+                "sectors exact (sorted-tile kernel, 1080b)": np.asarray(
+                    scan_poses_sectors(smap, jp, num_beams=1080,
+                                       mode="sorted_pl@128",
+                                       interpret=interp)),
             }
         oracles = {"edf march (XLA)": ("DT-march oracle", o_march),
                    "segments exact (XLA)": ("geometry oracle", o_geom),
