@@ -47,7 +47,8 @@ def main():
               f"{jax.process_count()} processes")
 
     bundle = rc.build_sim("levine", scan=ScanParams(num_beams=args.beams))
-    step = make_sharded_step(mesh, bundle, with_noise=False)
+    step = make_sharded_step(mesh, bundle, with_noise=False,
+                             compiler_opts=False)
 
     t = bundle.track
     edf = np.asarray(t.edf)[: t.height, : t.width]

@@ -58,7 +58,8 @@ from ..ops.raycast_sectors import sector_block_width as _sector_bb
 
 
 def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
-                      fov: float, max_range: float = 10.0, kv: int = 0):
+                      fov: float, max_range: float = 10.0, kv: int = 0,
+                      map_cell: Optional[dict] = None):
     """Build ``scan(poses) -> ranges`` sharded (agents, beams) on the mesh.
 
     ``segments_or_map``: either the dense (4, K) segment-params array or a
@@ -90,7 +91,8 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
                          f"beams mesh axis {nb_shards}")
     offs_full = beam_angles(num_beams, fov)
     is_sector = isinstance(segments_or_map, SectorSegmentMap)
-    map_cell = {"map": segments_or_map}
+    if map_cell is None:
+        map_cell = {"map": segments_or_map}
     if is_sector:
         bb = _sector_bb(segments_or_map, num_beams, fov)
         from ..ops.raycast_sectors import (raycast_sectors,
@@ -136,7 +138,8 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
 
 
 def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
-                      stack=None, compiler_opts: bool = True):
+                      stack=None, compiler_opts: bool = True,
+                      map_cell: Optional[dict] = None):
     """Sharded full simulation step over (agents, beams).
 
     ``compiler_opts=False`` skips the latency-hiding compiler options on
@@ -144,6 +147,11 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
     outer jit (e.g. a scanned training/timing loop — JAX rejects
     compiler_options on nested jits); apply the options to the outer jit
     instead (parallel/flags.overlap_compiler_options).
+
+    ``map_cell``: like ``make_scan_fn`` — the map pytree is read from
+    ``map_cell["map"]`` at call time and traced in as a replicated
+    argument, so swapping a same-shape rebuilt map (obstacle add/clear)
+    does NOT retrace the sharded step.
 
     Dynamics and TTC run agent-parallel; the scan is beam-sharded; the TTC
     any-beam reduction crosses the beam axis with a psum inside shard_map.
@@ -216,7 +224,8 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
     # closed-over table compiles in as a constant — retrace on obstacle
     # swap, and berlin-class tables overflow the axon remote-compile
     # payload (HTTP 413; CLAUDE.md)
-    map_cell = {"map": stack if is_stack else bundle.segmap}
+    if map_cell is None:
+        map_cell = {"map": stack if is_stack else bundle.segmap}
 
     def shard_body(m, offs, cosines, car_dists, state, v_des, steer_des,
                    key, mid):
@@ -324,6 +333,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
 
         def step(state, action, map_ids, key=None):
             return _step(map_cell["map"], state, action, map_ids, key)
+        step.jitted = _step          # retrace introspection (tests)
         return step
 
     @functools.partial(jax.jit, compiler_options=opts or None)
@@ -339,6 +349,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
     def step(state, action, key=None):
         return _step(map_cell["map"], state, action, key)
 
+    step.jitted = _step              # retrace introspection (tests)
     return step
 
 

@@ -38,7 +38,15 @@ def make_rollout_fn(step_fn: Callable, policy: Callable, num_steps: int,
             rec["ranges"] = out.ranges
         return (out.state, out.ranges, k), rec
 
-    @jax.jit
+    # the rollout jit is the TOP-LEVEL program, so the latency-hiding
+    # compiler options live here; a step built with make_sharded_step
+    # must pass compiler_opts=False before being wrapped (JAX rejects
+    # compiler_options on nested jits)
+    import functools
+    from .flags import overlap_compiler_options
+
+    @functools.partial(jax.jit,
+                       compiler_options=overlap_compiler_options() or None)
     def run(state0, key=None):
         zero_ranges = jnp.zeros(state0.batch_shape + (num_beams,))
         (final, _, _), traj = jax.lax.scan(

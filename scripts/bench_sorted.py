@@ -42,7 +42,8 @@ def main():
     from pyracecarsimulator_tpu.ops.raycast_sectors import raycast_sectors
     from pyracecarsimulator_tpu.ops.raymarch_xla import beam_angles
 
-    A, B = 4096, 1080
+    A = int(os.environ.get("AGENTS", "4096"))
+    B = 1080
     m = load_builtin(name)
     t0 = time.time()
     smap = build_sector_map(

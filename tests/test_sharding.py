@@ -275,3 +275,42 @@ def test_sharded_scan_sector_gradient(bundle, rng):
     g_sh = np.asarray(jax.grad(loss_sh)(poses))
     g_ref = np.asarray(jax.grad(loss_ref)(poses))
     np.testing.assert_allclose(g_sh, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_step_map_swap_no_retrace(bundle, rng):
+    """The sharded step reads its map from map_cell as a TRACED argument
+    (never a closure constant — a closed-over berlin-class table both
+    retraces on obstacle swap and overflows the remote-compile payload,
+    the demo_multitrack HTTP 413). Swapping a same-shape rebuilt map must
+    reuse the compiled executable."""
+    from pyracecarsimulator_tpu.maps.sectors import build_sector_map
+    b = build_sim(bundle.track, scan=SCAN, backend="sectors")
+    mesh = make_mesh(agents_axis=4, beams_axis=2)
+    cell = {"map": b.segmap}
+    step = make_sharded_step(mesh, b, with_noise=False, map_cell=cell,
+                             compiler_opts=False)
+    poses = _poses(b, rng, 8)
+    s0 = shard_state(mesh, state_from_pose(poses[:, 0], poses[:, 1],
+                                           poses[:, 2]))
+    action = (jnp.full((8,), 2.0), jnp.zeros(8))
+    out0 = step(s0, action, None)
+    jax.block_until_ready(out0.ranges)
+
+    t = bundle.track
+    occ = np.asarray(t.occupancy).copy()
+    occ[t.height // 2, t.width // 2] = 1.0       # one-cell obstacle
+    prev = b.segmap
+    swapped = build_sector_map(
+        occ, t.resolution, (t.origin_x, t.origin_y),
+        max_range=prev.reach - prev.rt, tile_size=prev.tile_size,
+        ns=prev.ns, block_half=prev.block_half,
+        kvh=(prev.kv_sec, prev.table.shape[2] - prev.kv_sec),
+        real_hw=(t.height, t.width))
+    assert swapped.table.shape == prev.table.shape
+    n0 = step.jitted._cache_size()
+    cell["map"] = swapped
+    out1 = step(s0, action, None)
+    jax.block_until_ready(out1.ranges)
+    assert step.jitted._cache_size() == n0, "map swap caused a retrace"
+    # and the swapped map actually flowed through (values may change)
+    assert out0.ranges.shape == out1.ranges.shape
