@@ -507,9 +507,13 @@ def _make_sorted_tiles_kernel(c: int, kv: int, kh: int, tr: int):
 
     def kernel(ncs_ref, xr_ref, yr_ref, ct_ref, st_ref, ic_ref, is_ref,
                g_hbm, bv_ref, bh_ref, seg_buf, sem):
+        # ncs rides FLATTENED (GT*2,) in SMEM: 2D SMEM operands are
+        # lane-padded to 128 ints/row (cf. _kernel_tiled), which blows
+        # the 1 MB SMEM budget at ~2300+ tiles (measured: 32k agents ->
+        # "Allocation (size=1179648) would exceed memory (size=1048576)")
         t = pl.program_id(0)
-        nv = ncs_ref[t, 0]
-        nh = ncs_ref[t, 1]
+        nv = ncs_ref[2 * t]
+        nh = ncs_ref[2 * t + 1]
         n = nv + nh
         bv_ref[0] = jnp.full((LANES, tr), big, jnp.float32)
         bh_ref[0] = jnp.full((LANES, tr), big, jnp.float32)
@@ -619,7 +623,7 @@ def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x, y, cos_t,
     tmax_v = jnp.max(nv.reshape(gt, tr), axis=1)
     tmax_h = jnp.max(nh.reshape(gt, tr), axis=1)
     ncs = jnp.stack([-(-tmax_v // c), -(-tmax_h // c)],
-                    axis=1).astype(jnp.int32)
+                    axis=1).astype(jnp.int32).reshape(-1)   # 1D: SMEM note
     tp = lambda a: a.reshape(gt, tr, LANES).transpose(0, 2, 1)
     rays = [tp(a) for a in (cos_t, sin_t, inv_c, inv_s)]
     rows = [a[:, 0].reshape(gt, 1, tr) for a in (x, y)]
