@@ -471,31 +471,42 @@ def main():
     s0 = state_from_pose(x0, y0, jnp.zeros(A))
     policy = make_gap_follower_policy(B, FOV, speed=3.0)
     T = 25
-    for backend, rkey in (("segments", "env_steps_s_4096"),
-                          ("sectors", "env_steps_s_4096_sectors")):
+    # berlin rollout (round 4): the sorted-tile kernel inside the full
+    # closed loop — mode="auto" in the facade routes it automatically
+    for track, backend, rkey in (
+            ("levine", "segments", "env_steps_s_4096"),
+            ("levine", "sectors", "env_steps_s_4096_sectors"),
+            ("berlin", "sectors", "env_steps_s_4096_sectors_berlin")):
         try:
-            _log(f"[bench] compiling closed-loop rollout ({backend}) ...")
-            bundle = build_sim("levine", scan=ScanParams(num_beams=B),
+            _log(f"[bench] compiling closed-loop rollout ({track}/"
+                 f"{backend}) ...")
+            if track != "levine":
+                mb = load_builtin(track)
+                xb0, yb0, *_ = ray_args(mb)
+                s0t = state_from_pose(xb0, yb0, jnp.zeros(A))
+            else:
+                s0t = s0
+            bundle = build_sim(track, scan=ScanParams(num_beams=B),
                                backend=backend)
             step = make_step_fn(bundle, with_noise=False)
             run = make_rollout_fn(step, policy, T, B)
             t0 = time.perf_counter()
-            final, _ = run(s0)
+            final, _ = run(s0t)
             float(final.x[0])
-            extra[f"rollout_compile_s_{backend}"] = round(
+            extra[f"rollout_compile_s_{track}_{backend}"] = round(
                 time.perf_counter() - t0, 1)
 
-            def one():
+            def one(s0t=s0t):
                 t0 = time.perf_counter()
-                final, _ = run(s0)
+                final, _ = run(s0t)
                 float(final.x[0])
                 return time.perf_counter() - t0
 
-            def three():
+            def three(s0t=s0t):
                 t0 = time.perf_counter()
-                f1, _ = run(s0)
-                f2, _ = run(s0)
-                f3, _ = run(s0)
+                f1, _ = run(s0t)
+                f2, _ = run(s0t)
+                f3, _ = run(s0t)
                 float(f1.x[0] + f2.x[0] + f3.x[0])
                 return time.perf_counter() - t0
 
@@ -588,7 +599,9 @@ def main():
     small_keys = ("levine_sector_fwd", "levine_sector_fwdbwd",
                   "berlin_sector_fwd", "berlin_sector_fwdbwd",
                   "berlin_sector_sorted_fwd", "berlin_sector_sorted_fwdbwd",
-                  "env_steps_s_4096_sectors", "sharded_step_1dev_rays_s",
+                  "env_steps_s_4096_sectors",
+                  "env_steps_s_4096_sectors_berlin",
+                  "sharded_step_1dev_rays_s",
                   "levine_dmap_hybrid_fwdbwd")
     small = {k: extra[k] for k in small_keys if k in extra}
     for k in ("levine_sector_parity_maxabs", "berlin_sector_parity_maxabs",
