@@ -480,11 +480,21 @@ def resolve_sector_mode(mode: str, k: int, bb: int) -> tuple:
 
     "auto" picks the ragged sorted-tile Pallas kernel
     (raycast_pallas.sweep_sorted_tiles_pallas) when the capacity is large
-    enough that capacity-bound dense work dominates (measured v5e,
-    berlin K=496: dense 2.34e8 vs sorted_pl 3.9e8+ rays/s fwd; levine
-    K=32: dense wins — the sort/transpose overhead buys nothing at small
-    K), and only on a real TPU backend (in interpret mode the kernel is
-    orders slower than the XLA sweep). Everything else stays "dense".
+    enough that capacity-bound dense work dominates, and only on a real
+    TPU backend (in interpret mode the kernel is orders slower than the
+    XLA sweep). Everything else stays "dense".
+
+    Threshold calibration (v5e, scripts/bench_sorted.py with NS/TILE
+    overrides): K=32 (levine, any geometry — even 8 m tiles with
+    90-degree sectors keep its max list at 28): kernel 1.5e9 vs dense
+    3.25e9 (kernel 0.46x — its ~0.6 ns/ray prep floor dominates);
+    K=432 (berlin at ns=32/tile=1): kernel 4.28e8 vs dense 2.32e8
+    (1.84x); K=496 (berlin default): 4.9e8 vs 2.34e8 (2.1x). Neither
+    builtin map can realize capacities inside (32, 432), so the 192 cut
+    is an interpolation: dense's per-slot cost saturates HBM-bound well
+    before K=432 (BASELINE round-3 "K=256->512 flat"), so the true
+    crossover is likely nearer ~100-150; 192 is conservative toward the
+    path with the lower fixed cost.
     """
     if mode != "auto":
         return mode, None

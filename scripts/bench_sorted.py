@@ -22,9 +22,9 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-DEFAULT_MODES = ("dense:64", "sorted@64:16", "sorted@64:32", "sorted@64:64",
-                 "sorted@32:32", "sorted@128:32", "sorted_lazy@64:32",
-                 "sorted_lazy@64:64", "sorted_nosort@64:32")
+DEFAULT_MODES = ("dense:64", "sorted@2048:64", "sorted_pt@2048:32",
+                 "sorted_pl@128:24", "sorted_pl@128:32",
+                 "sorted_pl@256:32")   # the measured ladder (BOTTLENECK.md)
 
 
 def main():
@@ -44,11 +44,16 @@ def main():
 
     A = int(os.environ.get("AGENTS", "4096"))
     B = 1080
+    # NS/TILE override the table geometry: used to synthesize
+    # intermediate capacities from the two builtin maps for the
+    # auto-threshold calibration (resolve_sector_mode._AUTO_MIN_K)
+    ns_ = int(os.environ.get("NS", "16"))
+    tile_ = float(os.environ.get("TILE", "2.0"))
     m = load_builtin(name)
     t0 = time.time()
     smap = build_sector_map(
         np.asarray(m.occupancy), m.resolution, (m.origin_x, m.origin_y),
-        max_range=10.0, tile_size=2.0, ns=16,
+        max_range=10.0, tile_size=tile_, ns=ns_,
         real_hw=(m.height, m.width))
     meta = np.asarray(smap.meta)
     real = meta[:, 0] + (meta[:, 2] - meta[:, 1])
