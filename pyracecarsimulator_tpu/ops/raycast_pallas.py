@@ -515,8 +515,6 @@ def _make_sorted_tiles_kernel(c: int, kv: int, kh: int, tr: int):
         nv = ncs_ref[2 * t]
         nh = ncs_ref[2 * t + 1]
         n = nv + nh
-        bv_ref[0] = jnp.full((LANES, tr), big, jnp.float32)
-        bh_ref[0] = jnp.full((LANES, tr), big, jnp.float32)
 
         def slot0_of(i):
             # every term is a multiple of 8 (c and the kv/kh capacities
@@ -537,6 +535,7 @@ def _make_sorted_tiles_kernel(c: int, kv: int, kh: int, tr: int):
             dma(0).start()
 
         def body(i, carry):
+            bv, bh = carry
             @pl.when(i + 1 < n)
             def _():
                 dma(i + 1).start()
@@ -559,12 +558,17 @@ def _make_sorted_tiles_kernel(c: int, kv: int, kh: int, tr: int):
                 a_ = oa + t_ * od
                 valid = (t_ >= 0.0) & ((a_ - lo) * (hi - a_) >= 0.0)
                 best = jnp.minimum(best, jnp.where(valid, t_, big))
-            bv_ref[0] = jnp.where(is_v, jnp.minimum(bv_ref[0], best),
-                                  bv_ref[0])
-            bh_ref[0] = jnp.where(is_v, bh_ref[0],
-                                  jnp.minimum(bh_ref[0], best))
-            return carry
-        jax.lax.fori_loop(0, n, body, 0)
+            # accumulate in the fori carry (plain elementwise mins —
+            # nothing for Mosaic to copy-on-write) and write the output
+            # refs ONCE after the loop
+            bv = jnp.minimum(bv, jnp.where(is_v, best, big))
+            bh = jnp.minimum(bh, jnp.where(is_v, big, best))
+            return bv, bh
+
+        init = jnp.full((LANES, tr), big, jnp.float32)
+        bv, bh = jax.lax.fori_loop(0, n, body, (init, init))
+        bv_ref[0] = bv
+        bh_ref[0] = bh
 
     return kernel
 
