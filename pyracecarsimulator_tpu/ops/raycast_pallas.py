@@ -573,7 +573,7 @@ def _make_sorted_tiles_kernel(c: int, kv: int, kh: int, tr: int):
     return kernel
 
 
-def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x, y, cos_t,
+def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x0, y0, cos_t,
                               sin_t, inv_c, inv_s, chunk: int = 32,
                               tile_rows: int = 1024,
                               interpret: bool = False):
@@ -584,21 +584,30 @@ def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x, y, cos_t,
     sweeps (same slots, same formulas, min idempotent under the clamped
     final chunk).
 
-    Requires x/y constant along each row's 128 beams (true for the
-    sector layout: a row is one agent's beam block) — they ride into the
-    kernel as (1, TR) rows, a 16th of the VMEM of full blocks."""
-    g_n, bb = x.shape
+    ``x0``/``y0`` are PER-ROW (G,) ray origins — a row's 128 beams share
+    one origin by construction (the sector layout: a row is one agent's
+    beam block). Taking scalars instead of (G, 128) blocks makes that
+    invariant structural (a per-beam-origin caller cannot silently get
+    wrong ranges; ADVICE r4) and rides 1/128th of the VMEM."""
+    g_n, bb = cos_t.shape
     if bb != LANES:
         raise ValueError(f"sorted-tile kernel needs bb == {LANES}")
+    if jnp.shape(x0) != (g_n,) or jnp.shape(y0) != (g_n,):
+        raise ValueError(
+            f"x0/y0 must be per-row (G,) origins (got {jnp.shape(x0)}, "
+            f"{jnp.shape(y0)} for G={g_n}); pass xb[:, 0] for the "
+            "broadcast block layout")
     k = table.shape[2]
     kv = int(kv_sec)
     kh = k - kv
     c = min(chunk, kv, kh)
-    if c % 8 or kv % 8 or kh % 8:
+    if c <= 0 or c % 8 or kv % 8 or kh % 8:
         raise ValueError(
-            f"sorted-tile kernel needs sublane-multiple chunk/capacities "
-            f"(c={c}, kv={kv}, kh={kh}); build_sector_map pads capacities "
-            "to sublane multiples — pass a chunk that is a multiple of 8")
+            f"sorted-tile kernel needs positive sublane-multiple "
+            f"chunk/capacities (c={c}, kv={kv}, kh={kh}); single-"
+            "orientation tables (kv or kh == 0) must use the dense sweep, "
+            "and build_sector_map pads capacities to sublane multiples — "
+            "pass a chunk that is a multiple of 8")
     tr = tile_rows
     nv = jnp.take(meta[:, 0], ids)
     nh = jnp.take(meta[:, 2] - meta[:, 1], ids)
@@ -606,16 +615,16 @@ def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x, y, cos_t,
     if pad:
         rep = lambda a: jnp.concatenate(
             [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
-        x, y, cos_t, sin_t, inv_c, inv_s, ids = map(
-            rep, (x, y, cos_t, sin_t, inv_c, inv_s, ids))
+        x0, y0, cos_t, sin_t, inv_c, inv_s, ids = map(
+            rep, (x0, y0, cos_t, sin_t, inv_c, inv_s, ids))
         z = jnp.zeros((pad,), nv.dtype)
         nv = jnp.concatenate([nv, z])
         nh = jnp.concatenate([nh, z])
     gp = g_n + pad
     order = jnp.argsort(-(nv + nh))
     take0 = lambda a: jnp.take(a, order, axis=0)
-    x, y, cos_t, sin_t, inv_c, inv_s, ids, nv, nh = map(
-        take0, (x, y, cos_t, sin_t, inv_c, inv_s, ids, nv, nh))
+    x0, y0, cos_t, sin_t, inv_c, inv_s, ids, nv, nh = map(
+        take0, (x0, y0, cos_t, sin_t, inv_c, inv_s, ids, nv, nh))
     gt = gp // tr
     g_all = jnp.take(table.reshape(table.shape[0], 4 * k), ids,
                      axis=0).reshape(gp, 4, k)
@@ -630,7 +639,7 @@ def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x, y, cos_t,
                     axis=1).astype(jnp.int32).reshape(-1)   # 1D: SMEM note
     tp = lambda a: a.reshape(gt, tr, LANES).transpose(0, 2, 1)
     rays = [tp(a) for a in (cos_t, sin_t, inv_c, inv_s)]
-    rows = [a[:, 0].reshape(gt, 1, tr) for a in (x, y)]
+    rows = [a.reshape(gt, 1, tr) for a in (x0, y0)]
 
     ray_spec = pl.BlockSpec((1, LANES, tr), lambda i, ncs: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -642,7 +651,7 @@ def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x, y, cos_t,
             num_scalar_prefetch=1,
             grid=(gt,),
             in_specs=[row_spec] * 2 + [ray_spec] * 4
-            + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[ray_spec, ray_spec],
             scratch_shapes=[pltpu.VMEM((2, c, 4, tr), jnp.float32),
                             pltpu.SemaphoreType.DMA((2,))],

@@ -474,15 +474,18 @@ _AUTO_TR = 128        # best of the measured v5e tile sweep (BOTTLENECK.md)
 _AUTO_CHUNK = 24
 
 
-def resolve_sector_mode(mode: str, k: int, bb: int) -> tuple:
+def resolve_sector_mode(mode: str, k: int, bb: int,
+                        interpret: bool = False) -> tuple:
     """Resolve "auto" to a concrete (mode, chunk | None) for a table of
     capacity ``k`` swept in ``bb``-beam blocks.
 
     "auto" picks the ragged sorted-tile Pallas kernel
     (raycast_pallas.sweep_sorted_tiles_pallas) when the capacity is large
     enough that capacity-bound dense work dominates, and only on a real
-    TPU backend (in interpret mode the kernel is orders slower than the
-    XLA sweep). Everything else stays "dense".
+    TPU backend with ``interpret=False`` (the interpret-mode kernel is
+    orders slower than the XLA sweep, so debug/parity runs that force
+    ``interpret=True`` on a TPU fall back to "dense"; ADVICE r4).
+    Everything else stays "dense".
 
     Threshold calibration (v5e, scripts/bench_sorted.py with NS/TILE
     overrides): K=32 (levine, any geometry — even 8 m tiles with
@@ -498,7 +501,7 @@ def resolve_sector_mode(mode: str, k: int, bb: int) -> tuple:
     """
     if mode != "auto":
         return mode, None
-    if (k >= _AUTO_MIN_K and bb == 128
+    if (k >= _AUTO_MIN_K and bb == 128 and not interpret
             and jax.default_backend() == "tpu"):
         return f"sorted_pl@{_AUTO_TR}", _AUTO_CHUNK
     return "dense", None
@@ -549,7 +552,8 @@ def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
         if kind == "sorted_pl":
             from .raycast_pallas import sweep_sorted_tiles_pallas
             bv, bh = sweep_sorted_tiles_pallas(
-                table, meta, kv_sec, ids.reshape(-1), *flat, chunk=chunk,
+                table, meta, kv_sec, ids.reshape(-1), flat[0][:, 0],
+                flat[1][:, 0], *flat[2:], chunk=chunk,
                 tile_rows=tile_rows, interpret=interpret)
         elif kind in ("sorted_pt", "sorted_ptt"):
             bv, bh = _sweep_xla_sorted_pt(table, meta, kv_sec,
@@ -678,7 +682,8 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bb = sector_block_width(smap, num_beams, fov, bb)
-    mode, auto_chunk = resolve_sector_mode(mode, smap.table.shape[2], bb)
+    mode, auto_chunk = resolve_sector_mode(mode, smap.table.shape[2], bb,
+                                           bool(interpret))
     # Generate the beam fan at the PADDED width (edge-replicated offsets):
     # padding six (A, B) ray arrays inside the raycast instead costs real
     # HBM copies every scan — measured 46% of the flagship ray budget
@@ -776,7 +781,8 @@ def _ids_sweep(table, meta, ids, kv_sec, x, y, cos_t, sin_t, chunk,
     if kind == "sorted_pl":
         from .raycast_pallas import sweep_sorted_tiles_pallas
         bv, bh = sweep_sorted_tiles_pallas(
-            table, meta, kv_sec, ids.reshape(-1), *flat, chunk=chunk,
+            table, meta, kv_sec, ids.reshape(-1), flat[0][:, 0],
+            flat[1][:, 0], *flat[2:], chunk=chunk,
             tile_rows=tile_rows, interpret=interpret)
     elif kind in ("sorted_pt", "sorted_ptt"):
         bv, bh = _sweep_xla_sorted_pt(
@@ -886,7 +892,8 @@ def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
     bb = sector_block_width(stack, num_beams, fov, bb)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    mode, auto_chunk = resolve_sector_mode(mode, stack.table.shape[2], bb)
+    mode, auto_chunk = resolve_sector_mode(mode, stack.table.shape[2], bb,
+                                           bool(interpret))
     nblk = -(-num_beams // bb)
     b_pad = nblk * bb - num_beams
     poses = jnp.asarray(poses)

@@ -334,6 +334,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
         def step(state, action, map_ids, key=None):
             return _step(map_cell["map"], state, action, map_ids, key)
         step.jitted = _step          # retrace introspection (tests)
+        step.has_compiler_opts = bool(opts)   # make_rollout_fn guard
         return step
 
     @functools.partial(jax.jit, compiler_options=opts or None)
@@ -350,6 +351,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
         return _step(map_cell["map"], state, action, key)
 
     step.jitted = _step              # retrace introspection (tests)
+    step.has_compiler_opts = bool(opts)       # make_rollout_fn guard
     return step
 
 
