@@ -655,11 +655,61 @@ def _rs_bwd(tiles_shape, tile_size, tile_origin, ns, kv_sec, max_range,
 raycast_sectors.defvjp(_rs_fwd, _rs_bwd)
 
 
+# Auto agent-chunking: the sweeps pre-gather each ray row's (4, K) cull
+# list, a working set NOT bounded by the compute chunk — berlin-class
+# K=496 at 32k agents rides ~9.4 GB through the gather + slot-major
+# transposes and measured 26% slower per ray than 4096 agents
+# (BASELINE.md round 4); 65k un-chunked approaches the HBM limit. Large
+# batches are therefore split into agent chunks executed sequentially by
+# ``lax.map`` (values identical: rays are independent). The budget keeps
+# the flagship 4096-agent configs un-chunked on both bundled maps.
+_CHUNK_BYTES_BUDGET = 1.8e9
+
+
+def _auto_agent_chunk(a_n: int, nblk: int, k: int, mode: str) -> int:
+    """Agents per chunk (0 = no chunking) for a batch of ``a_n`` agents,
+    ``nblk`` beam blocks, capacity-``k`` table swept in ``mode``."""
+    per_agent = nblk * 4 * k * 4.0          # (NBLK, 4, K) f32 rows
+    if mode.startswith("sorted_pl"):
+        per_agent *= 3.0                    # + slot-major transpose bufs
+    c = int(_CHUNK_BYTES_BUDGET // per_agent)
+    c = max(2048, (c // 1024) * 1024)
+    return c if a_n > c else 0
+
+
+def _scan_chunk(smap, poses2, num_beams, fov, max_range, theta_disc, bb,
+                auto_chunk, use_pallas, interpret, grp, mode):
+    """Fan build -> raycast -> extent mask for one (A, 3) pose chunk."""
+    from .common import beam_angles, quantize_angles, apply_extent_mask
+    # Generate the beam fan at the PADDED width (edge-replicated offsets):
+    # padding six (A, B) ray arrays inside the raycast instead costs real
+    # HBM copies every scan — measured 46% of the flagship ray budget
+    # (docs/BOTTLENECK.md); padding the (B,) offset row is free.
+    nblk = -(-num_beams // bb)
+    b_pad = nblk * bb - num_beams
+    offs = beam_angles(num_beams, fov)
+    if b_pad:
+        offs = jnp.concatenate(
+            [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
+    ang = quantize_angles(poses2[:, 2:3] + offs[None, :], theta_disc)
+    ct, st = jnp.cos(ang), jnp.sin(ang)
+    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
+    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
+    r = raycast_sectors(
+        smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
+        smap.tile_origin, smap.ns, smap.kv_sec, poses2[:, 0], poses2[:, 1],
+        xb, yb, ct, st, max_range, bb, auto_chunk or 64,
+        bool(use_pallas), bool(interpret), int(grp), mode)[:, :num_beams]
+    return apply_extent_mask(r, poses2[:, 0], poses2[:, 1], smap.extent,
+                             max_range)
+
+
 def scan_poses_sectors(smap, poses, num_beams: int = 1080,
                        fov: float = 4.712388980384690, max_range=10.0,
                        theta_discretization: int = 0, bb=None,
                        use_pallas=None, interpret=None,
-                       grp: int = 8, mode: str = "auto") -> jnp.ndarray:
+                       grp: int = 8, mode: str = "auto",
+                       agent_chunk=None) -> jnp.ndarray:
     """Full lidar scans for poses (..., 3) via the sector backend.
 
     ``mode="auto"`` (default) resolves per table/backend
@@ -667,6 +717,13 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     ragged sorted-tile Pallas kernel (mean-bound work; berlin 3.9e8+ vs
     dense 2.34e8 rays/s), everything else the dense XLA sweep. All modes
     are value-identical (tests/test_sectors.py).
+
+    ``agent_chunk``: agents per sequential execution chunk for very
+    large batches (``None`` = auto-derive from the table capacity so the
+    pre-gathered cull working set stays HBM-friendly — the 32k/65k
+    single-device configs; ``0`` = never chunk). Values are identical
+    either way (rays are independent); gradients flow through the
+    chunked path unchanged (lax.map differentiates as a scan).
 
     ``use_pallas=None`` keeps the per-(agent, block) ids-routed Pallas
     kernel OFF — measured on TPU v5e (round 3, scripts/bench_sectors.py):
@@ -676,7 +733,6 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     for A/B and parity testing; the sorted-tile kernel (mode) is the
     one that wins.
     """
-    from .common import beam_angles, quantize_angles, apply_extent_mask
     if use_pallas is None:
         use_pallas = False
     if interpret is None:
@@ -684,31 +740,28 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     bb = sector_block_width(smap, num_beams, fov, bb)
     mode, auto_chunk = resolve_sector_mode(mode, smap.table.shape[2], bb,
                                            bool(interpret))
-    # Generate the beam fan at the PADDED width (edge-replicated offsets):
-    # padding six (A, B) ray arrays inside the raycast instead costs real
-    # HBM copies every scan — measured 46% of the flagship ray budget
-    # (docs/BOTTLENECK.md); padding the (B,) offset row is free.
-    nblk = -(-num_beams // bb)
-    b_pad = nblk * bb - num_beams
     poses = jnp.asarray(poses)
     batch = poses.shape[:-1]
     poses2 = poses.reshape(-1, 3)
-    offs = beam_angles(num_beams, fov)
-    if b_pad:
-        offs = jnp.concatenate(
-            [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
-    ang = quantize_angles(poses2[:, 2:3] + offs[None, :],
-                          theta_discretization)
-    ct, st = jnp.cos(ang), jnp.sin(ang)
-    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
-    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
-    r = raycast_sectors(
-        smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
-        smap.tile_origin, smap.ns, smap.kv_sec, poses2[:, 0], poses2[:, 1],
-        xb, yb, ct, st, max_range, bb, auto_chunk or 64,
-        bool(use_pallas), bool(interpret), int(grp), mode)[:, :num_beams]
-    r = apply_extent_mask(r, poses2[:, 0], poses2[:, 1], smap.extent,
-                          max_range)
+    a_n = poses2.shape[0]
+    nblk = -(-num_beams // bb)
+    if agent_chunk is None:
+        agent_chunk = _auto_agent_chunk(a_n, nblk, smap.table.shape[2],
+                                        mode)
+    args = (smap, num_beams, fov, max_range, theta_discretization, bb,
+            auto_chunk, use_pallas, interpret, grp, mode)
+    if agent_chunk and a_n > agent_chunk:
+        nc = -(-a_n // agent_chunk)
+        pad = nc * agent_chunk - a_n
+        if pad:
+            poses2 = jnp.concatenate(
+                [poses2, jnp.broadcast_to(poses2[-1:], (pad, 3))])
+        r = jax.lax.map(
+            lambda p: _scan_chunk(args[0], p, *args[1:]),
+            poses2.reshape(nc, agent_chunk, 3))
+        r = r.reshape(nc * agent_chunk, num_beams)[:a_n]
+    else:
+        r = _scan_chunk(args[0], poses2, *args[1:])
     return r.reshape(*batch, num_beams)
 
 

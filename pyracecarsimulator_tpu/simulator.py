@@ -125,11 +125,18 @@ def build_sim(track_or_name, car: CarParams = None, scan: ScanParams = None,
 
 def make_scan_fn(bundle: SimBundle, backend: Optional[str] = None,
                  map_cell: Optional[dict] = None,
-                 map_grad: bool = False) -> Callable[[Any], Any]:
+                 map_grad: bool = False,
+                 agent_chunk: Optional[int] = None) -> Callable[[Any], Any]:
     """Returns ``scan(poses) -> ranges`` for poses (..., 3), noiseless.
 
     ``backend=None`` uses the backend the bundle was built with (the
     recommended way; build_sim resolves "auto" per map).
+
+    ``agent_chunk`` (sector backend): agents per sequential execution
+    chunk for very large single-device batches — ``None`` auto-derives
+    from the table capacity so the pre-gathered cull working set stays
+    HBM-friendly (the 32k/65k configs), ``0`` disables chunking. Values
+    are identical either way (ops/raycast_sectors.scan_poses_sectors).
 
     The map (segment table / EDF) is read from ``map_cell["map"]`` at call
     time and passed into the compiled function as a *traced argument*:
@@ -202,7 +209,8 @@ def make_scan_fn(bundle: SimBundle, backend: Optional[str] = None,
                 return _scan_sectors(
                     map_cell["map"], poses, num_beams=sc.num_beams,
                     fov=sc.fov, max_range=sc.max_range,
-                    theta_discretization=theta_disc)
+                    theta_discretization=theta_disc,
+                    agent_chunk=agent_chunk)
             return scan_fn
         if backend == "segments_pallas":
 
@@ -260,10 +268,12 @@ def make_scan_fn(bundle: SimBundle, backend: Optional[str] = None,
 
 
 def make_step_fn(bundle: SimBundle, backend: Optional[str] = None,
-                 with_noise: bool = True) -> Callable:
+                 with_noise: bool = True,
+                 agent_chunk: Optional[int] = None) -> Callable:
     """Build the fused simulation step (reference §3.2, one XLA program).
 
     ``backend=None`` uses the backend the bundle was built with.
+    ``agent_chunk`` is forwarded to the scan (see ``make_scan_fn``).
 
     Returns ``step(state, action, key=None) -> StepOutput`` where action is
     ``(v_des, steer_des)`` with shapes broadcastable to the state batch.
@@ -276,7 +286,8 @@ def make_step_fn(bundle: SimBundle, backend: Optional[str] = None,
                         if backend in _SEGMENT_BACKENDS
                         else bundle.track)}
     inner_cell = {"map": None}
-    scan_fn = make_scan_fn(bundle, backend, inner_cell)
+    scan_fn = make_scan_fn(bundle, backend, inner_cell,
+                           agent_chunk=agent_chunk)
     car, sc, sim = bundle.car, bundle.scan, bundle.sim
     cosines, car_dists = ttc_tables(sc.num_beams, sc.fov, car)
     dynamics = sim.dynamics

@@ -516,3 +516,39 @@ def test_multi_map_sorted_pl_bitexact(blobby, small_track):
                                    mode="sorted_pl@64", interpret=True,
                                    **kw)
     np.testing.assert_array_equal(np.asarray(r_d), np.asarray(r_s))
+
+
+def test_agent_chunked_matches_unchunked(blobby):
+    """agent_chunk splits the batch into lax.map'd chunks; values and
+    gradients must be bit-identical to the single-shot sweep (VERDICT r4
+    task 3: automatic large-batch handling)."""
+    occ, res, org, smap, segs, poses = blobby
+    r0 = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                            max_range=MAXR, bb=64, agent_chunk=0)
+    # 24 poses, chunk 7 -> 4 chunks with a 4-pose pad tail
+    r1 = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                            max_range=MAXR, bb=64, agent_chunk=7)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+    def loss(chunk):
+        def f(p):
+            return jnp.sum(jnp.minimum(scan_poses_sectors(
+                smap, p, num_beams=540, fov=FOV, max_range=MAXR, bb=64,
+                agent_chunk=chunk), MAXR - 0.1) ** 2)
+        return jax.grad(f)(poses)
+    g0, g1 = loss(0), loss(7)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_auto_agent_chunk_thresholds():
+    from pyracecarsimulator_tpu.ops.raycast_sectors import (
+        _auto_agent_chunk)
+    # flagship 4096-agent configs stay un-chunked on both bundled maps
+    assert _auto_agent_chunk(4096, 9, 496, "sorted_pl@128") == 0
+    assert _auto_agent_chunk(4096, 9, 32, "dense") == 0
+    # 32k berlin-class chunks under the sorted kernel's 3x working set
+    c = _auto_agent_chunk(32768, 9, 496, "sorted_pl@128")
+    assert 0 < c <= 16384 and c % 1024 == 0
+    # levine-class K=32 never chunks below 65k
+    assert _auto_agent_chunk(65536, 9, 32, "dense") == 0
