@@ -75,20 +75,48 @@ class SectorSegmentMap:
     extent: Tuple[float, float, float, float] = (-_FAR, _FAR, -_FAR, _FAR)
     rt: float = 0.0                  # tile half-diagonal + slack (meters)
     reach: float = 0.0               # max_range + rt (cull distance)
+    table_ck: Any = None             # (T*NS, NG, 3, CG) fused-kernel layout
 
     def tree_flatten(self):
-        return (self.table, self.meta, self.n_segments), (
+        return (self.table, self.meta, self.n_segments, self.table_ck), (
             self.ns, self.kv_sec, self.block_half, self.tile_size,
             self.tiles_shape, self.tile_origin, self.extent, self.rt,
             self.reach)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        table, meta, n = leaves
+        table, meta, n, tck = leaves
         ns, kv, bh, ts, tshape, torg, ext, rt, reach = aux
         return cls(table=table, meta=meta, n_segments=n, ns=ns, kv_sec=kv,
                    block_half=bh, tile_size=ts, tiles_shape=tshape,
-                   tile_origin=torg, extent=ext, rt=rt, reach=reach)
+                   tile_origin=torg, extent=ext, rt=rt, reach=reach,
+                   table_ck=tck)
+
+
+_CK_CG = 128          # fused-kernel chunk-group width (one lane register)
+_CK_MIN_K = 128       # capacity below which the fused kernel is never used
+
+
+def build_table_ck(table, cg: int = _CK_CG):
+    """Chunk-grouped kernel layout of a (L, 4, K) sector table: slots
+    padded to NG*cg with never-hit sentinels, the isv plane dropped
+    (orientation is implied by slot index vs ``kv_sec``), slots grouped:
+    (L, NG, 3, cg). A pure re-layout — the fused sorted-tile kernel
+    (ops/raycast_pallas.sweep_sorted_tiles_fused) DMAs (3, cg) groups by
+    leading-dim indices only, which Mosaic serves without lane-dim
+    slicing. Accepts a device or host array; runs as device ops when
+    given a device table (avoids a second host->device transfer of
+    berlin-class ~100 MB tables over the tunnel)."""
+    l, _, k = table.shape
+    ng = -(-k // cg)
+    kp = ng * cg
+    t3 = jnp.asarray(table)[:, :3, :]
+    if kp != k:
+        pad = jnp.broadcast_to(
+            jnp.asarray([_FAR, 1.0, -1.0], jnp.float32)[None, :, None],
+            (l, 3, kp - k))
+        t3 = jnp.concatenate([t3, pad], axis=2)
+    return t3.reshape(l, 3, ng, cg).transpose(0, 2, 1, 3)
 
 
 def _seg_endpoints(segs: np.ndarray):
@@ -216,9 +244,11 @@ def add_segments(smap: SectorSegmentMap, new_segs: np.ndarray
             jnp.asarray(seg, jnp.float32))
     meta2 = np.stack([counts_v, np.full(len(meta), kv, counts_v.dtype),
                       kv + counts_h], axis=1).astype(np.int32)
+    tck = (build_table_ck(table, smap.table_ck.shape[3])
+           if smap.table_ck is not None else None)   # derived re-layout
     return dataclasses.replace(
         smap, table=table, meta=jnp.asarray(meta2),
-        n_segments=smap.n_segments + len(new_segs))
+        n_segments=smap.n_segments + len(new_segs), table_ck=tck)
 
 
 def build_sector_map(occupancy: np.ndarray, resolution: float,
@@ -308,13 +338,18 @@ def build_sector_map(occupancy: np.ndarray, resolution: float,
     # contiguous f32 on host BEFORE the device put: a (T*NS, K, 4) f64
     # transpose costs a 2x transfer + device-side convert over the tunnel
     table = np.ascontiguousarray(table.transpose(0, 2, 1), np.float32)
+    table_j = jnp.asarray(table)
+    # fused-kernel layout only in the large-capacity regime where the
+    # sorted kernel is ever selected (resolve_sector_mode)
+    tck = (build_table_ck(table_j)
+           if kv_sec + kh_sec >= _CK_MIN_K else None)
     return SectorSegmentMap(
-        table=jnp.asarray(table),
+        table=table_j,
         meta=jnp.asarray(meta),
         n_segments=len(segs), ns=ns, kv_sec=kv_sec,
         block_half=float(block_half), tile_size=float(tile_size),
         tiles_shape=(nr, nc), tile_origin=(ox, oy), extent=extent,
-        rt=float(rt), reach=float(reach))
+        rt=float(rt), reach=float(reach), table_ck=tck)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -339,19 +374,20 @@ class StackedSectorMap:
     kv_sec: int = 0
     block_half: float = 0.285
     tile_size: float = 0.0
+    table_ck: Any = None      # (sum L_m, NG, 3, CG) fused-kernel layout
 
     def tree_flatten(self):
         return (self.table, self.meta, self.offsets, self.grids,
-                self.extents), (self.ns, self.kv_sec, self.block_half,
-                                self.tile_size)
+                self.extents, self.table_ck), (
+            self.ns, self.kv_sec, self.block_half, self.tile_size)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        table, meta, offsets, grids, extents = leaves
+        table, meta, offsets, grids, extents, tck = leaves
         ns, kv, bh, ts = aux
         return cls(table=table, meta=meta, offsets=offsets, grids=grids,
                    extents=extents, ns=ns, kv_sec=kv, block_half=bh,
-                   tile_size=ts)
+                   tile_size=ts, table_ck=tck)
 
 
 def stack_sector_maps(maps) -> StackedSectorMap:
@@ -391,11 +427,13 @@ def stack_sector_maps(maps) -> StackedSectorMap:
         nr, nc = m.tiles_shape
         grids.append((nr, nc, m.tile_origin[0], m.tile_origin[1]))
         extents.append(m.extent)
+    table_j = jnp.asarray(np.concatenate(tables, axis=0))
+    tck = build_table_ck(table_j) if kv + kh >= _CK_MIN_K else None
     return StackedSectorMap(
-        table=jnp.asarray(np.concatenate(tables, axis=0)),
+        table=table_j,
         meta=jnp.asarray(np.concatenate(metas, axis=0)),
         offsets=jnp.asarray(np.asarray(offsets, np.int32)),
         grids=jnp.asarray(np.asarray(grids, np.float32)),
         extents=jnp.asarray(np.asarray(extents, np.float32)),
         ns=m0.ns, kv_sec=kv, block_half=m0.block_half,
-        tile_size=m0.tile_size)
+        tile_size=m0.tile_size, table_ck=tck)

@@ -665,3 +665,245 @@ def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x0, y0, cos_t,
     bv = jnp.take(bv, inv, axis=0)
     bh = jnp.take(bh, inv, axis=0)
     return bv[:g_n], bh[:g_n]
+
+
+# ---------------------------------------------------------------------------
+# Fused-gather sorted-tile kernel (round 5).
+#
+# sweep_sorted_tiles_pallas still pays an XLA prep tax: the (G, 4, K)
+# capacity-wide pre-gather plus the slot-major transpose are ~69% of its
+# remaining gap to the work bound (293 MB + 2x293 MB of HBM traffic on
+# berlin at 4096 agents, docs/BOTTLENECK.md round 4), and the O(G*K)
+# working set is what degrades 32k-agent batches 26%. This kernel owns
+# the gather too:
+#
+#   * the table rides in HBM in a chunk-grouped layout ``table_ck``
+#     (L, NG, 3, CG) — groups of CG slots, params [p, lo, hi] on
+#     sublanes (maps/sectors.build_table_ck; a pure reshape of the
+#     sentinel-padded table, built once at map-compile time);
+#   * per tile, the kernel DMAs each ROW's visited chunk groups
+#     (row-major stage buffer, one (3, CG) copy per (row, group) —
+#     leading-dim indices only, so Mosaic needs no lane-dim slicing);
+#     DMA traffic is VISITED slots at CG granularity, not capacity;
+#   * the staged rows are transposed to slot-major IN-KERNEL — the prep
+#     lacks the 128-beam factor the sweep carries, so at VMEM speeds it
+#     is ~9% of the sweep even at full capacity (vs ~17% through HBM in
+#     XLA). Transpose engine selectable: "xlu" (lax.transpose) or "mxu"
+#     (identity dot_general — runs on the otherwise-idle MXU);
+#   * the sweep then reads (C, TR) chunk values from the slot-major
+#     VMEM planes — identical arithmetic to the sorted-tile kernel,
+#     bit-identical results.
+#
+# Pipelining: tile t's row DMAs are issued at step t-1 (scratch persists
+# across grid steps), so they ride under step t-1's transpose + sweep;
+# the scalar core issues ~tr*(nvg+nhg) copies per tile while the VPU
+# sweeps.
+# ---------------------------------------------------------------------------
+
+
+def _make_fused_tiles_kernel(c: int, kv: int, kh: int, tr: int, cg: int,
+                             ng: int, transpose_mode: str):
+    big = _BIG
+    h0g = kv // cg
+
+    def kernel(ncs_ref, ids_ref, xr_ref, yr_ref, ct_ref, st_ref, ic_ref,
+               is_ref, tck_hbm, bv_ref, bh_ref, stage, pb, lb, hb, sem):
+        t = pl.program_id(0)
+        nt = pl.num_programs(0)
+
+        def counts(tt):
+            nvc = ncs_ref[2 * tt]
+            nhc = ncs_ref[2 * tt + 1]
+            sv = jnp.minimum(nvc * c, kv)            # V slots visited
+            sh = jnp.minimum(nhc * c, kh)            # H slots visited
+            nvg = -(-sv // cg)                       # V groups to fetch
+            hend = -(-(kv + sh) // cg)               # H fetch end group
+            hstart = jnp.maximum(h0g, nvg)           # V fetch covers below
+            nhg = jnp.where(nhc > 0,
+                            jnp.maximum(hend - hstart, 0), 0)
+            return nvc, nhc, nvg, hstart, nhg
+
+        def row_dmas(tt, slot, start: bool):
+            # issue (start=True) or drain (False) tile tt's row fetches;
+            # the drain loop recomputes identical descriptors, so the
+            # start/wait counts always match
+            _, _, nvg, hstart, nhg = counts(tt)
+
+            def per_row(r, _):
+                rid = ids_ref[tt * tr + r]
+
+                def grp(g):
+                    d = pltpu.make_async_copy(
+                        tck_hbm.at[rid, g], stage.at[slot, g, r],
+                        sem.at[slot])
+                    if start:
+                        d.start()
+                    else:
+                        d.wait()
+
+                jax.lax.fori_loop(0, nvg,
+                                  lambda j, _: (grp(j), 0)[1], 0)
+                jax.lax.fori_loop(0, nhg,
+                                  lambda j, _: (grp(hstart + j), 0)[1], 0)
+                return 0
+
+            jax.lax.fori_loop(0, tr, per_row, 0)
+
+        def transpose_tile(tt, slot):
+            _, _, nvg, hstart, nhg = counts(tt)
+            hend = hstart + nhg
+            if transpose_mode == "mxu":
+                ident = (jax.lax.broadcasted_iota(jnp.int32, (tr, tr), 0)
+                         == jax.lax.broadcasted_iota(jnp.int32, (tr, tr),
+                                                     1)).astype(jnp.float32)
+            for g in range(ng):
+                fetched = (g < nvg) | ((g >= hstart) & (g < hend))
+
+                @pl.when(fetched)
+                def _(g=g):
+                    for pidx, buf in ((0, pb), (1, lb), (2, hb)):
+                        a = stage[slot, g, :, pidx, :]       # (TR, CG)
+                        if transpose_mode == "mxu":
+                            at = jax.lax.dot_general(
+                                a, ident, (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+                        else:
+                            at = a.T                          # (CG, TR)
+                        buf[g * cg:(g + 1) * cg, :] = at
+
+        def sweep_tile(tt):
+            nvc, nhc, *_ = counts(tt)
+
+            def body(i, carry):
+                bv, bh = carry
+                is_v = i < nvc
+                j = jnp.where(is_v, i, i - nvc)
+                slot0 = jnp.where(is_v,
+                                  jnp.minimum(j * c, kv - c),
+                                  kv + jnp.minimum(j * c, kh - c))
+                slot0 = pl.multiple_of(slot0, 8)
+                cp = pb[pl.ds(slot0, c)]                 # (C, TR)
+                cl = lb[pl.ds(slot0, c)]
+                ch = hb[pl.ds(slot0, c)]
+                o1 = jnp.where(is_v, xr_ref[0], yr_ref[0])      # (1, TR)
+                oa = jnp.where(is_v, yr_ref[0], xr_ref[0])
+                oi = jnp.where(is_v, ic_ref[0], is_ref[0])      # (L, TR)
+                od = jnp.where(is_v, st_ref[0], ct_ref[0])
+                best = jnp.full((LANES, tr), big, jnp.float32)
+                for s in range(c):                       # static unroll
+                    p = cp[s][None]
+                    lo = cl[s][None]
+                    hi = ch[s][None]
+                    t_ = (p - o1) * oi
+                    a_ = oa + t_ * od
+                    valid = (t_ >= 0.0) & ((a_ - lo) * (hi - a_) >= 0.0)
+                    best = jnp.minimum(best, jnp.where(valid, t_, big))
+                bv = jnp.minimum(bv, jnp.where(is_v, best, big))
+                bh = jnp.minimum(bh, jnp.where(is_v, big, best))
+                return bv, bh
+
+            init = jnp.full((LANES, tr), big, jnp.float32)
+            bv, bh = jax.lax.fori_loop(0, nvc + nhc, body, (init, init))
+            bv_ref[0] = bv
+            bh_ref[0] = bh
+
+        slot = jax.lax.rem(t, 2)
+
+        @pl.when(t == 0)
+        def _():
+            row_dmas(0, 0, start=True)      # pipeline fill (tile 0 only)
+
+        row_dmas(t, slot, start=False)      # drain tile t's fetches
+        transpose_tile(t, slot)
+
+        @pl.when(t + 1 < nt)
+        def _():
+            row_dmas(t + 1, 1 - slot, start=True)   # overlap next fetch
+
+        sweep_tile(t)
+
+    return kernel
+
+
+def sweep_sorted_tiles_fused(table_ck, meta, kv_sec, k, ids, x0, y0,
+                             cos_t, sin_t, inv_c, inv_s, chunk: int = 24,
+                             tile_rows: int = 128,
+                             transpose_mode: str = "xlu",
+                             interpret: bool = False):
+    """Fused-gather sorted sector sweep (module section above): values
+    bit-identical to ``sweep_sorted_tiles_pallas`` over the same table,
+    with the gather + slot-major transpose INSIDE the kernel.
+
+    ``table_ck``: (L, NG, 3, CG) chunk-grouped table
+    (maps/sectors.build_table_ck). ``k``: the original table capacity
+    (kv + kh; NG*CG >= k). Other args as sweep_sorted_tiles_pallas."""
+    g_n, bb = cos_t.shape
+    if bb != LANES:
+        raise ValueError(f"fused sorted-tile kernel needs bb == {LANES}")
+    if jnp.shape(x0) != (g_n,) or jnp.shape(y0) != (g_n,):
+        raise ValueError("x0/y0 must be per-row (G,) origins")
+    l, ng, three, cg = table_ck.shape
+    if three != 3:
+        raise ValueError(f"table_ck must carry 3 params (got {three})")
+    kv = int(kv_sec)
+    kh = int(k) - kv
+    c = min(chunk, kv, kh)
+    if c <= 0 or c % 8 or kv % 8 or kh % 8 or cg % 8:
+        raise ValueError(
+            f"fused kernel needs positive sublane-multiple chunk/"
+            f"capacities (c={c}, kv={kv}, kh={kh}, cg={cg})")
+    if ng * cg < kv + kh:
+        raise ValueError(f"table_ck groups cover {ng * cg} < K={kv + kh}")
+    tr = tile_rows
+    nv = jnp.take(meta[:, 0], ids)
+    nh = jnp.take(meta[:, 2] - meta[:, 1], ids)
+    pad = (-g_n) % tr
+    if pad:
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0)
+        x0, y0, cos_t, sin_t, inv_c, inv_s, ids = map(
+            rep, (x0, y0, cos_t, sin_t, inv_c, inv_s, ids))
+        z = jnp.zeros((pad,), nv.dtype)
+        nv = jnp.concatenate([nv, z])
+        nh = jnp.concatenate([nh, z])
+    gp = g_n + pad
+    order = jnp.argsort(-(nv + nh))
+    take0 = lambda a: jnp.take(a, order, axis=0)
+    x0, y0, cos_t, sin_t, inv_c, inv_s, ids, nv, nh = map(
+        take0, (x0, y0, cos_t, sin_t, inv_c, inv_s, ids, nv, nh))
+    gt = gp // tr
+    tmax_v = jnp.max(nv.reshape(gt, tr), axis=1)
+    tmax_h = jnp.max(nh.reshape(gt, tr), axis=1)
+    ncs = jnp.stack([-(-tmax_v // c), -(-tmax_h // c)],
+                    axis=1).astype(jnp.int32).reshape(-1)   # 1D: SMEM note
+    tp = lambda a: a.reshape(gt, tr, LANES).transpose(0, 2, 1)
+    rays = [tp(a) for a in (cos_t, sin_t, inv_c, inv_s)]
+    rows = [a.reshape(gt, 1, tr) for a in (x0, y0)]
+
+    ray_spec = pl.BlockSpec((1, LANES, tr), lambda i, ncs, ids: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, 1, tr), lambda i, ncs, ids: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bv, bh = pl.pallas_call(
+        _make_fused_tiles_kernel(c, kv, kh, tr, cg, ng, transpose_mode),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(gt,),
+            in_specs=[row_spec] * 2 + [ray_spec] * 4
+            + [pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=[ray_spec, ray_spec],
+            scratch_shapes=[pltpu.VMEM((2, ng, tr, 3, cg), jnp.float32),
+                            pltpu.VMEM((ng * cg, tr), jnp.float32),
+                            pltpu.VMEM((ng * cg, tr), jnp.float32),
+                            pltpu.VMEM((ng * cg, tr), jnp.float32),
+                            pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((gt, LANES, tr), jnp.float32)] * 2,
+        interpret=interpret,
+    )(ncs, ids.astype(jnp.int32), *rows, *rays, table_ck)
+    unt = lambda a: a.transpose(0, 2, 1).reshape(gp, LANES)
+    bv, bh = unt(bv), unt(bh)
+    inv = jnp.argsort(order)
+    bv = jnp.take(bv, inv, axis=0)
+    bh = jnp.take(bh, inv, axis=0)
+    return bv[:g_n], bh[:g_n]

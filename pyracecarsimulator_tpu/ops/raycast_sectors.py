@@ -531,6 +531,11 @@ def _parse_mode(mode: str):
         return "sorted_ptt", tr, True, False
     if mode == "sorted_pl":
         return "sorted_pl", tr, True, False
+    if mode in ("sorted_plf", "sorted_plfm"):
+        # fused-gather sorted-tile kernel (raycast_pallas.
+        # sweep_sorted_tiles_fused); the table argument must be the
+        # (table, table_ck) pair. "plfm" = MXU-transpose variant.
+        return mode, tr, True, False
     raise ValueError(f"unknown sector sweep mode {mode!r}")
 
 
@@ -546,10 +551,20 @@ def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
     args = [_pad_beams(v, b_pad) for v in (x, y, cos_t, sin_t, inv_c,
                                            inv_s)]
     kind, tile_rows, do_sort, lazy = _parse_mode(mode)
-    if kind in ("sorted", "sorted_pt", "sorted_ptt", "sorted_pl") \
-            and not use_pallas:
+    if kind in ("sorted", "sorted_pt", "sorted_ptt", "sorted_pl",
+                "sorted_plf", "sorted_plfm") and not use_pallas:
         flat = [v.reshape(a_n * nblk, bb) for v in args]
-        if kind == "sorted_pl":
+        if kind in ("sorted_plf", "sorted_plfm"):
+            from .raycast_pallas import sweep_sorted_tiles_fused
+            tab, tck = table
+            bv, bh = sweep_sorted_tiles_fused(
+                tck, meta, kv_sec, tab.shape[2], ids.reshape(-1),
+                flat[0][:, 0], flat[1][:, 0], *flat[2:], chunk=chunk,
+                tile_rows=tile_rows,
+                transpose_mode=("mxu" if kind == "sorted_plfm"
+                                else "xlu"),
+                interpret=interpret)
+        elif kind == "sorted_pl":
             from .raycast_pallas import sweep_sorted_tiles_pallas
             bv, bh = sweep_sorted_tiles_pallas(
                 table, meta, kv_sec, ids.reshape(-1), flat[0][:, 0],
@@ -602,6 +617,15 @@ def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
     return r, isv, hit
 
 
+def _table_zero_ct(mode: str, tshape):
+    """Zero cotangent for the ``table`` argument of the sector VJPs: a
+    (table, table_ck) pair of zeros in fused-kernel modes (the pair is
+    what rode forward), a single zeros array otherwise."""
+    if mode.split("@", 1)[0] in ("sorted_plf", "sorted_plfm"):
+        return tuple(jnp.zeros(s, jnp.float32) for s in tshape)
+    return jnp.zeros(tshape, jnp.float32)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 13, 14,
                                                     15, 16, 17, 18, 19))
 def raycast_sectors(table, meta, tiles_shape, tile_size, tile_origin,
@@ -637,7 +661,12 @@ def _rs_fwd(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
                             tile_origin, ns, kv_sec, x0, y0, x, y, cos_t,
                             sin_t, max_range, bb, chunk, use_pallas,
                             interpret, grp, mode)
-    return r, (jnp.shape(table), jnp.shape(meta), jnp.shape(x0),
+    # table is the (table, table_ck) pair in fused modes: carry plain
+    # shape tuples (static ints ride residuals fine; array-typed shape
+    # carriers do not survive shard_map's transpose) — the bwd picks the
+    # pair/single form from the static ``mode``
+    tshape = jax.tree.map(jnp.shape, table)
+    return r, (tshape, jnp.shape(meta), jnp.shape(x0),
                r, isv, hit, cos_t, sin_t)
 
 
@@ -648,8 +677,8 @@ def _rs_bwd(tiles_shape, tile_size, tile_origin, ns, kv_sec, max_range,
     gx, gy, gct, gst = _winner_vjp(r, isv, hit, cos_t, sin_t, g)
     z = jnp.zeros(ashape, jnp.float32)
     meta_ct = np.zeros(mshape, jax.dtypes.float0)
-    return (jnp.zeros(tshape, jnp.float32), meta_ct, z, z, gx, gy,
-            gct, gst)
+    t_ct = _table_zero_ct(mode, tshape)
+    return (t_ct, meta_ct, z, z, gx, gy, gct, gst)
 
 
 raycast_sectors.defvjp(_rs_fwd, _rs_bwd)
@@ -664,6 +693,24 @@ raycast_sectors.defvjp(_rs_fwd, _rs_bwd)
 # ``lax.map`` (values identical: rays are independent). The budget keeps
 # the flagship 4096-agent configs un-chunked on both bundled maps.
 _CHUNK_BYTES_BUDGET = 1.8e9
+
+
+def sector_table_arg(smap, mode: str):
+    """The ``table`` argument for ``raycast_sectors[_ids]`` given the
+    resolved sweep mode: fused-kernel modes take the (table, table_ck)
+    pair (sweep_sorted_tiles_fused reads the chunk-grouped layout), all
+    other modes the plain table."""
+    kind = mode.split("@", 1)[0]
+    if kind in ("sorted_plf", "sorted_plfm"):
+        if getattr(smap, "table_ck", None) is None:
+            raise ValueError(
+                f"mode {mode!r} needs the fused-kernel table layout; this "
+                "map was built without one (capacity < "
+                "maps.sectors._CK_MIN_K, or a pre-round-5 pickle) — "
+                "rebuild via build_sector_map or attach "
+                "maps.sectors.build_table_ck(table)")
+        return (smap.table, smap.table_ck)
+    return smap.table
 
 
 def _auto_agent_chunk(a_n: int, nblk: int, k: int, mode: str) -> int:
@@ -696,8 +743,9 @@ def _scan_chunk(smap, poses2, num_beams, fov, max_range, theta_disc, bb,
     xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
     yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
     r = raycast_sectors(
-        smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
-        smap.tile_origin, smap.ns, smap.kv_sec, poses2[:, 0], poses2[:, 1],
+        sector_table_arg(smap, mode), smap.meta, smap.tiles_shape,
+        smap.tile_size, smap.tile_origin, smap.ns, smap.kv_sec,
+        poses2[:, 0], poses2[:, 1],
         xb, yb, ct, st, max_range, bb, auto_chunk or 64,
         bool(use_pallas), bool(interpret), int(grp), mode)[:, :num_beams]
     return apply_extent_mask(r, poses2[:, 0], poses2[:, 1], smap.extent,
@@ -831,7 +879,16 @@ def _ids_sweep(table, meta, ids, kv_sec, x, y, cos_t, sin_t, chunk,
     a_n, nblk, bb = jnp.shape(x)
     flat = [v.reshape(a_n * nblk, bb)
             for v in (x, y, cos_t, sin_t, inv_c, inv_s)]
-    if kind == "sorted_pl":
+    if kind in ("sorted_plf", "sorted_plfm"):
+        from .raycast_pallas import sweep_sorted_tiles_fused
+        tab, tck = table
+        bv, bh = sweep_sorted_tiles_fused(
+            tck, meta, kv_sec, tab.shape[2], ids.reshape(-1),
+            flat[0][:, 0], flat[1][:, 0], *flat[2:], chunk=chunk,
+            tile_rows=tile_rows,
+            transpose_mode=("mxu" if kind == "sorted_plfm" else "xlu"),
+            interpret=interpret)
+    elif kind == "sorted_pl":
         from .raycast_pallas import sweep_sorted_tiles_pallas
         bv, bh = sweep_sorted_tiles_pallas(
             table, meta, kv_sec, ids.reshape(-1), flat[0][:, 0],
@@ -878,7 +935,8 @@ def _rsi_fwd(table, meta, ids, kv_sec, x, y, cos_t, sin_t, max_range,
     r = jnp.minimum(jnp.minimum(bv, bh), max_range).reshape(a_n, -1)
     isv = (bv <= bh).reshape(a_n, -1)
     hit = (jnp.minimum(bv, bh) < max_range).reshape(a_n, -1)
-    return r, (jnp.shape(table), jnp.shape(meta), jnp.shape(ids),
+    tshape = jax.tree.map(jnp.shape, table)     # pair in fused modes
+    return r, (tshape, jnp.shape(meta), jnp.shape(ids),
                jnp.shape(x), r, isv, hit, cos_t, sin_t)
 
 
@@ -888,7 +946,8 @@ def _rsi_bwd(kv_sec, max_range, chunk, mode, interpret, res, g):
     gx, gy, gct, gst = _winner_vjp(
         r, isv, hit, cos_t.reshape(r.shape), sin_t.reshape(r.shape), g)
     f0 = lambda s: np.zeros(s, jax.dtypes.float0)
-    return (jnp.zeros(tshape, jnp.float32), f0(mshape), f0(ishape),
+    t_ct = _table_zero_ct(mode, tshape)
+    return (t_ct, f0(mshape), f0(ishape),
             gx.reshape(rshape), gy.reshape(rshape), gct.reshape(rshape),
             gst.reshape(rshape))
 
@@ -967,8 +1026,9 @@ def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
                                   ct, st, num_beams, bb)
     shp = (a_n, nblk, bb)
     r = raycast_sectors_ids(
-        stack.table, stack.meta, ids, stack.kv_sec, xb.reshape(shp),
-        yb.reshape(shp), ct.reshape(shp), st.reshape(shp), max_range,
+        sector_table_arg(stack, mode), stack.meta, ids, stack.kv_sec,
+        xb.reshape(shp), yb.reshape(shp), ct.reshape(shp),
+        st.reshape(shp), max_range,
         auto_chunk or 64, mode, bool(interpret))[:, :num_beams]
     # per-agent extent mask (reference out-of-map => max_range)
     r = jnp.where(inside[:, None], r, max_range)

@@ -96,7 +96,8 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
     if is_sector:
         bb = _sector_bb(segments_or_map, num_beams, fov)
         from ..ops.raycast_sectors import (raycast_sectors,
-                                           resolve_sector_mode)
+                                           resolve_sector_mode,
+                                           sector_table_arg)
         sec_mode, sec_chunk = resolve_sector_mode(
             "auto", segments_or_map.table.shape[2], bb)
 
@@ -118,7 +119,8 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
         yb = jnp.broadcast_to(y, ang.shape)
         if is_sector:
             r = raycast_sectors(
-                m.table, m.meta, m.tiles_shape, m.tile_size,
+                sector_table_arg(m, sec_mode), m.meta, m.tiles_shape,
+                m.tile_size,
                 m.tile_origin, m.ns, m.kv_sec, poses[:, 0],
                 poses[:, 1], xb, yb, ct, st, max_range, bb,
                 sec_chunk or 64, False, False, 8, sec_mode)[:, :b_loc]
@@ -189,7 +191,8 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
                                            as _rc_sectors_ids,
                                            stack_block_ids
                                            as _stack_ids,
-                                           resolve_sector_mode)
+                                           resolve_sector_mode,
+                                           sector_table_arg)
         bb = _sector_bb(stack, num_beams, float(sc.fov))
         sec_mode, sec_chunk = resolve_sector_mode(
             "auto", stack.table.shape[2], bb)
@@ -203,7 +206,8 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
         if is_sector:
             from ..ops.raycast_sectors import (raycast_sectors
                                                as _rc_sectors,
-                                               resolve_sector_mode)
+                                               resolve_sector_mode,
+                                               sector_table_arg)
             smap = bundle.segmap
             bb = _sector_bb(smap, num_beams, float(sc.fov))
             sec_mode, sec_chunk = resolve_sector_mode(
@@ -263,7 +267,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
             a_loc = ct.shape[0]
             shp = (a_loc, ct.shape[1] // bb, bb)
             ranges = _rc_sectors_ids(
-                m.table, m.meta, ids, m.kv_sec,
+                sector_table_arg(m, sec_mode), m.meta, ids, m.kv_sec,
                 xb.reshape(shp), yb.reshape(shp), ct.reshape(shp),
                 st.reshape(shp), float(sc.max_range), sec_chunk or 64,
                 sec_mode)[:, :b_loc]
@@ -271,7 +275,8 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
                                float(sc.max_range))
         elif is_sector:
             ranges = _rc_sectors(
-                m.table, m.meta, m.tiles_shape, m.tile_size,
+                sector_table_arg(m, sec_mode), m.meta, m.tiles_shape,
+                m.tile_size,
                 m.tile_origin, m.ns, m.kv_sec, sx, sy,
                 xb, yb, ct, st, float(sc.max_range), bb,
                 sec_chunk or 64, False, False, 8, sec_mode)[:, :b_loc]

@@ -552,3 +552,69 @@ def test_auto_agent_chunk_thresholds():
     assert 0 < c <= 16384 and c % 1024 == 0
     # levine-class K=32 never chunks below 65k
     assert _auto_agent_chunk(65536, 9, 32, "dense") == 0
+
+
+@pytest.fixture(scope="module")
+def blobby_bigk(blobby):
+    """Same geometry at coarser tiles/sectors: capacity K=144 >= 128, so
+    the map carries the fused-kernel table_ck layout (round 5)."""
+    occ, res, org, _, segs, poses = blobby
+    smap = build_sector_map(occ, res, org, max_range=MAXR, tile_size=4.0,
+                            ns=4, block_half=0.62)
+    assert smap.table_ck is not None
+    return occ, res, org, smap, segs, poses
+
+
+def test_fused_kernel_bitexact_vs_dense(blobby_bigk):
+    """Fused-gather sorted-tile kernel (in-kernel gather + transpose,
+    VERDICT r4 task 2): bit-identical ranges and gradients vs the dense
+    sweep, both transpose engines, interpret mode."""
+    occ, res, org, smap, segs, poses = blobby_bigk
+    r_d = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                             max_range=MAXR, bb=128, mode="dense")
+    for mode in ("sorted_plf@16", "sorted_plfm@16", "sorted_pl@16"):
+        r_f = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
+                                 max_range=MAXR, bb=128, mode=mode,
+                                 interpret=True)
+        np.testing.assert_array_equal(np.asarray(r_d), np.asarray(r_f),
+                                      err_msg=mode)
+
+    def g(mode, interp):
+        f = lambda p: jnp.sum(jnp.minimum(scan_poses_sectors(
+            smap, p, num_beams=540, fov=FOV, max_range=MAXR, bb=128,
+            mode=mode, interpret=interp), MAXR - 0.1) ** 2)
+        return jax.grad(f)(poses)
+    np.testing.assert_allclose(np.asarray(g("dense", False)),
+                               np.asarray(g("sorted_plf@16", True)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_kernel_multitrack_route(blobby_bigk, blobby):
+    """The stacked multi-map sweep routes through the fused kernel too
+    (StackedSectorMap carries table_ck)."""
+    from pyracecarsimulator_tpu.maps.sectors import stack_sector_maps
+    from pyracecarsimulator_tpu.ops.raycast_sectors import (
+        scan_poses_sectors_multi)
+    occ, res, org, smap, segs, poses = blobby_bigk
+    stack = stack_sector_maps([smap, smap])
+    assert stack.table_ck is not None
+    mids = jnp.asarray(np.arange(poses.shape[0]) % 2, jnp.int32)
+    r_d = scan_poses_sectors_multi(stack, mids, poses, num_beams=540,
+                                   fov=FOV, max_range=MAXR, bb=128,
+                                   mode="dense")
+    r_f = scan_poses_sectors_multi(stack, mids, poses, num_beams=540,
+                                   fov=FOV, max_range=MAXR, bb=128,
+                                   mode="sorted_plf@16", interpret=True)
+    np.testing.assert_array_equal(np.asarray(r_d), np.asarray(r_f))
+
+
+def test_table_ck_roundtrip(blobby_bigk):
+    """table_ck is a pure re-layout of the sentinel-padded table."""
+    from pyracecarsimulator_tpu.maps.sectors import build_table_ck
+    occ, res, org, smap, segs, poses = blobby_bigk
+    tck = np.asarray(build_table_ck(smap.table))
+    l, ng, three, cg = tck.shape
+    k = smap.table.shape[2]
+    flat = tck.transpose(0, 2, 1, 3).reshape(l, 3, ng * cg)
+    np.testing.assert_array_equal(flat[:, :, :k],
+                                  np.asarray(smap.table)[:, :3, :])
