@@ -819,7 +819,7 @@ def scan_poses_sectors_mapgrad(smap, edf, resolution, origin_xy, poses,
                                max_range=10.0,
                                theta_discretization: int = 0,
                                eps: float = 1e-4, bounds_hw=None,
-                               bb=None) -> jnp.ndarray:
+                               bb=None, dedup: bool = False) -> jnp.ndarray:
     """Sector-culled scan with a ∂range/∂map cotangent: the production
     ∂range/∂map path (BASELINE.json configs[2]).
 
@@ -862,7 +862,7 @@ def scan_poses_sectors_mapgrad(smap, edf, resolution, origin_xy, poses,
                           max_range)
     r = with_map_gradient(edf, r, xb[:, :num_beams], yb[:, :num_beams],
                           ct[:, :num_beams], st[:, :num_beams],
-                          resolution, origin_xy, eps, bounds_hw)
+                          resolution, origin_xy, eps, bounds_hw, dedup)
     return r.reshape(*batch, num_beams)
 
 

@@ -264,9 +264,10 @@ def scan_poses_implicit(edf, resolution, origin_xy, poses,
     return r.reshape(*batch, num_beams)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def with_map_gradient(edf, r, x0, y0, cos_t, sin_t, resolution, origin_xy,
-                      eps: float = 0.0001, bounds_hw=None):
+                      eps: float = 0.0001, bounds_hw=None,
+                      dedup: bool = False):
     """Attach a ∂range/∂map cotangent to ranges from ANY exact forward.
 
     The fast raycasts (sectors/segments — 9.5e8 rays/s fwd+bwd on v5e vs
@@ -290,16 +291,23 @@ def with_map_gradient(edf, r, x0, y0, cos_t, sin_t, resolution, origin_xy,
     ``edf``); the gradient definition is FD-validated through
     ``march_rays_implicit``, which differentiates the same surface — their
     map cotangents are compared directly in tests/test_raymarch_diff.py.
+
+    ``dedup=True`` switches the backward to the sort-by-cell form
+    (VERDICT r4 task 4): rays are argsorted by their hit cell's base
+    index once, then each tap is accumulated with
+    ``jax.ops.segment_sum(indices_are_sorted=True)`` — the same values
+    up to f32 summation order (adjacent beams hit the same cells, so
+    sorted accumulation replaces most of the element-serial scatter).
     """
     return r
 
 
 def _wmg_fwd(edf, r, x0, y0, cos_t, sin_t, resolution, origin_xy, eps,
-             bounds_hw):
+             bounds_hw, dedup):
     return r, (edf, r, x0, y0, cos_t, sin_t, resolution, origin_xy)
 
 
-def _wmg_bwd(eps, bounds_hw, res, g):
+def _wmg_bwd(eps, bounds_hw, dedup, res, g):
     edf, r, x0, y0, cos_t, sin_t, resolution, origin_xy = res
     inv_res = 1.0 / resolution
     ox, oy = origin_xy[0], origin_xy[1]
@@ -314,15 +322,38 @@ def _wmg_bwd(eps, bounds_hw, res, g):
     ok = inb & (jnp.abs(val - tau) <= 0.6 * tau) \
         & (jnp.abs(denom) >= _DENOM_FLOOR)
     scale = jnp.where(ok, -g / jnp.where(ok, denom, 1.0), 0.0)
-    flat_ct = jnp.zeros(edf.size, edf.dtype)
-    for wgt, ix in zip(weights, idx):
-        flat_ct = flat_ct.at[ix].add(scale * wgt)
+    if dedup:
+        # sort-by-cell attribution: one argsort by base index, then each
+        # tap rides a sorted segment_sum (all 4 taps sit at base + const
+        # offsets, so one order serves all; the tap's image position is a
+        # static zero-padded shift of the per-base sums). Dead rays get a
+        # sentinel segment one past the image and fall off the slice.
+        n = edf.size
+        stride = edf.shape[-1]
+        base = jnp.where(ok.reshape(-1), idx[0].reshape(-1), n)
+        order = jnp.argsort(base)
+        bs = jnp.take(base, order)
+        flat_ct = jnp.zeros(n, edf.dtype)
+        for off, wgt in zip((0, 1, stride, stride + 1), weights):
+            ws = jnp.take((scale * wgt).reshape(-1), order)
+            seg = jax.ops.segment_sum(ws, bs, num_segments=n + 1,
+                                      indices_are_sorted=True)[:n]
+            if off:
+                seg = jnp.concatenate(
+                    [jnp.zeros((off,), edf.dtype), seg[:n - off]])
+            flat_ct = flat_ct + seg
+        edf_ct = flat_ct.reshape(edf.shape)
+    else:
+        flat_ct = jnp.zeros(edf.size, edf.dtype)
+        for wgt, ix in zip(weights, idx):
+            flat_ct = flat_ct.at[ix].add(scale * wgt)
+        edf_ct = flat_ct.reshape(edf.shape)
     z = lambda a: jnp.zeros_like(a)
     zero_f = jnp.zeros((), jnp.float32)
     origin_ct = (jax.tree_util.tree_map(lambda _: zero_f, origin_xy)
                  if isinstance(origin_xy, tuple)
                  else jnp.zeros_like(jnp.asarray(origin_xy)))
-    return (flat_ct.reshape(edf.shape), g, z(x0), z(y0), z(cos_t),
+    return (edf_ct, g, z(x0), z(y0), z(cos_t),
             z(sin_t), zero_f, origin_ct)
 
 

@@ -176,17 +176,50 @@ def main():
         acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(reps))
         return acc
 
+    # round-5 task-4 variants: sort-by-cell segment-sum attribution
+    @jax.jit
+    def hybrid_dedup(table, meta, edf_a, xb_, yb_):
+        def loss(e, a, b):
+            r = sector_fwd(table, meta, a, b)
+            r = with_map_gradient(e, r, a, b, ct, st, m.resolution, org,
+                                  1e-4, hw, True)
+            return jnp.sum(r)
+        def rep(acc, i):
+            di = i.astype(jnp.float32) * 1e-7
+            l, g = jax.value_and_grad(loss)(edf_a, xb_ + di, yb_ + di)
+            return acc + l + jnp.sum(g[:2, :2]), None
+        acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(reps))
+        return acc
+
+    @jax.jit
+    def sort_only(base_i, w):
+        # isolate the argsort + sorted segment_sum the dedup form adds
+        def rep(acc, i):
+            order = jnp.argsort(base_i + i)
+            bs = jnp.take(base_i + i, order)
+            ws = jnp.take(w[0], order)
+            seg = jax.ops.segment_sum(ws, bs,
+                                      num_segments=edf_j.size + 1,
+                                      indices_are_sorted=True)
+            return acc + seg[0] + seg[-2], None
+        acc, _ = jax.lax.scan(rep, 0.0, jnp.arange(reps))
+        return acc
+
     n_rays = A * B
     r_s1 = report("scatter1", scatter1, (base, w4), base.size)
     r_s4 = report("scatter4", scatter4, (base, w4), base.size)
+    r_so = report("sort_segsum1", sort_only, (base, w4), base.size)
     r_w = report("wmg_bwd", wmg, (edf_j, xb, yb), n_rays)
     r_f = report("sector_fwd", fwd_only, (smap.table, smap.meta, xb, yb),
                  n_rays)
     r_h = report("hybrid_fwdbwd", hybrid,
                  (smap.table, smap.meta, edf_j, xb, yb), n_rays)
+    r_hd = report("hybrid_dedup_fwdbwd", hybrid_dedup,
+                  (smap.table, smap.meta, edf_j, xb, yb), n_rays)
     print(f"summary: hybrid/scatter4 = {r_h / r_s4:.2f}  "
           f"hybrid/wmg = {r_h / r_w:.2f}  wmg/scatter4 = "
-          f"{r_w / r_s4:.2f}", flush=True)
+          f"{r_w / r_s4:.2f}  dedup/hybrid = {r_hd / r_h:.2f}",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -248,3 +248,23 @@ def test_with_map_gradient_matches_implicit(field):
     num = np.abs(g_seg - g_imp).sum()
     den = np.abs(g_imp).sum() + 1e-9
     assert num / den < 0.25, num / den
+
+
+def test_wmg_dedup_matches_scatter(field):
+    """Sort-by-cell segment-sum backward (dedup=True) produces the same
+    map cotangent as the scatter-add form up to f32 summation order
+    (VERDICT r4 task 4)."""
+    from pyracecarsimulator_tpu.ops.raymarch_diff import with_map_gradient
+    occ, edf, org, hw = field
+    x0, y0, ct, st = _rays(field, n=512, seed=5)
+    r = march_rays_implicit(edf, RES, org, x0, y0, ct, st, MAXR, 1e-4, 128)
+
+    def grad_of(dedup):
+        f = lambda e: jnp.sum(with_map_gradient(
+            e, r, x0, y0, ct, st, RES, org, 1e-4, None, dedup) ** 2)
+        return jax.grad(f)(edf)
+
+    g0, g1 = grad_of(False), grad_of(True)
+    assert float(jnp.sum(jnp.abs(g0))) > 0         # non-trivial cotangent
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
