@@ -702,7 +702,8 @@ def sweep_sorted_tiles_pallas(table, meta, kv_sec, ids, x0, y0, cos_t,
 
 
 def _make_fused_tiles_kernel(c: int, kv: int, kh: int, tr: int, cg: int,
-                             ng: int, transpose_mode: str):
+                             ng: int, transpose_mode: str,
+                             fetch_full: bool):
     big = _BIG
     h0g = kv // cg
 
@@ -726,15 +727,28 @@ def _make_fused_tiles_kernel(c: int, kv: int, kh: int, tr: int, cg: int,
         def row_dmas(tt, slot, start: bool):
             # issue (start=True) or drain (False) tile tt's row fetches;
             # the drain loop recomputes identical descriptors, so the
-            # start/wait counts always match
+            # start/wait counts always match. fetch_full: ONE static
+            # capacity-wide DMA per row — 2-3x fewer issues than the
+            # ragged per-group form, and the extra bytes hide under the
+            # sweep (full-capacity streaming is ~0.3 ms/scan at HBM
+            # peak vs ~8 ms of sweep on berlin@4096).
             _, _, nvg, hstart, nhg = counts(tt)
 
             def per_row(r, _):
                 rid = ids_ref[tt * tr + r]
 
+                if fetch_full:
+                    d = pltpu.make_async_copy(
+                        tck_hbm.at[rid], stage.at[slot, r], sem.at[slot])
+                    if start:
+                        d.start()
+                    else:
+                        d.wait()
+                    return 0
+
                 def grp(g):
                     d = pltpu.make_async_copy(
-                        tck_hbm.at[rid, g], stage.at[slot, g, r],
+                        tck_hbm.at[rid, g], stage.at[slot, r, g],
                         sem.at[slot])
                     if start:
                         d.start()
@@ -757,15 +771,21 @@ def _make_fused_tiles_kernel(c: int, kv: int, kh: int, tr: int, cg: int,
                          == jax.lax.broadcasted_iota(jnp.int32, (tr, tr),
                                                      1)).astype(jnp.float32)
             for g in range(ng):
-                fetched = (g < nvg) | ((g >= hstart) & (g < hend))
+                fetched = (jnp.bool_(True) if fetch_full
+                           else (g < nvg) | ((g >= hstart) & (g < hend)))
 
                 @pl.when(fetched)
                 def _(g=g):
                     for pidx, buf in ((0, pb), (1, lb), (2, hb)):
-                        a = stage[slot, g, :, pidx, :]       # (TR, CG)
+                        a = stage[slot, :, g, pidx, :]       # (TR, CG)
                         if transpose_mode == "mxu":
+                            # HIGHEST: default MXU f32 precision is bf16
+                            # passes — truncates segment coordinates and
+                            # flips ulp-boundary hits (measured max|d|
+                            # 9.3 m on berlin)
                             at = jax.lax.dot_general(
                                 a, ident, (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
                         else:
                             at = a.T                          # (CG, TR)
@@ -829,6 +849,7 @@ def sweep_sorted_tiles_fused(table_ck, meta, kv_sec, k, ids, x0, y0,
                              cos_t, sin_t, inv_c, inv_s, chunk: int = 24,
                              tile_rows: int = 128,
                              transpose_mode: str = "xlu",
+                             fetch: str = "full",
                              interpret: bool = False):
     """Fused-gather sorted sector sweep (module section above): values
     bit-identical to ``sweep_sorted_tiles_pallas`` over the same table,
@@ -885,14 +906,15 @@ def sweep_sorted_tiles_fused(table_ck, meta, kv_sec, k, ids, x0, y0,
     row_spec = pl.BlockSpec((1, 1, tr), lambda i, ncs, ids: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     bv, bh = pl.pallas_call(
-        _make_fused_tiles_kernel(c, kv, kh, tr, cg, ng, transpose_mode),
+        _make_fused_tiles_kernel(c, kv, kh, tr, cg, ng, transpose_mode,
+                                 fetch == "full"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(gt,),
             in_specs=[row_spec] * 2 + [ray_spec] * 4
             + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[ray_spec, ray_spec],
-            scratch_shapes=[pltpu.VMEM((2, ng, tr, 3, cg), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((2, tr, ng, 3, cg), jnp.float32),
                             pltpu.VMEM((ng * cg, tr), jnp.float32),
                             pltpu.VMEM((ng * cg, tr), jnp.float32),
                             pltpu.VMEM((ng * cg, tr), jnp.float32),

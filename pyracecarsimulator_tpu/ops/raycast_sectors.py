@@ -531,10 +531,13 @@ def _parse_mode(mode: str):
         return "sorted_ptt", tr, True, False
     if mode == "sorted_pl":
         return "sorted_pl", tr, True, False
-    if mode in ("sorted_plf", "sorted_plfm"):
+    if mode in ("sorted_plf", "sorted_plfm", "sorted_plfr",
+                "sorted_plfmr"):
         # fused-gather sorted-tile kernel (raycast_pallas.
         # sweep_sorted_tiles_fused); the table argument must be the
-        # (table, table_ck) pair. "plfm" = MXU-transpose variant.
+        # (table, table_ck) pair. "m" = MXU-transpose engine; trailing
+        # "r" = ragged per-group fetch (A/B; default is the one-DMA
+        # full-capacity row fetch).
         return mode, tr, True, False
     raise ValueError(f"unknown sector sweep mode {mode!r}")
 
@@ -552,17 +555,19 @@ def _fwd_impl(table, meta, tiles_shape, tile_size, tile_origin, ns, kv_sec,
                                            inv_s)]
     kind, tile_rows, do_sort, lazy = _parse_mode(mode)
     if kind in ("sorted", "sorted_pt", "sorted_ptt", "sorted_pl",
-                "sorted_plf", "sorted_plfm") and not use_pallas:
+                "sorted_plf", "sorted_plfm", "sorted_plfr",
+                "sorted_plfmr") and not use_pallas:
         flat = [v.reshape(a_n * nblk, bb) for v in args]
-        if kind in ("sorted_plf", "sorted_plfm"):
+        if kind.startswith("sorted_plf"):
             from .raycast_pallas import sweep_sorted_tiles_fused
             tab, tck = table
             bv, bh = sweep_sorted_tiles_fused(
                 tck, meta, kv_sec, tab.shape[2], ids.reshape(-1),
                 flat[0][:, 0], flat[1][:, 0], *flat[2:], chunk=chunk,
                 tile_rows=tile_rows,
-                transpose_mode=("mxu" if kind == "sorted_plfm"
+                transpose_mode=("mxu" if kind.startswith("sorted_plfm")
                                 else "xlu"),
+                fetch=("ragged" if kind.endswith("r") else "full"),
                 interpret=interpret)
         elif kind == "sorted_pl":
             from .raycast_pallas import sweep_sorted_tiles_pallas
@@ -621,7 +626,7 @@ def _table_zero_ct(mode: str, tshape):
     """Zero cotangent for the ``table`` argument of the sector VJPs: a
     (table, table_ck) pair of zeros in fused-kernel modes (the pair is
     what rode forward), a single zeros array otherwise."""
-    if mode.split("@", 1)[0] in ("sorted_plf", "sorted_plfm"):
+    if mode.split("@", 1)[0].startswith("sorted_plf"):
         return tuple(jnp.zeros(s, jnp.float32) for s in tshape)
     return jnp.zeros(tshape, jnp.float32)
 
@@ -701,7 +706,7 @@ def sector_table_arg(smap, mode: str):
     pair (sweep_sorted_tiles_fused reads the chunk-grouped layout), all
     other modes the plain table."""
     kind = mode.split("@", 1)[0]
-    if kind in ("sorted_plf", "sorted_plfm"):
+    if kind.startswith("sorted_plf"):
         if getattr(smap, "table_ck", None) is None:
             raise ValueError(
                 f"mode {mode!r} needs the fused-kernel table layout; this "
@@ -879,14 +884,16 @@ def _ids_sweep(table, meta, ids, kv_sec, x, y, cos_t, sin_t, chunk,
     a_n, nblk, bb = jnp.shape(x)
     flat = [v.reshape(a_n * nblk, bb)
             for v in (x, y, cos_t, sin_t, inv_c, inv_s)]
-    if kind in ("sorted_plf", "sorted_plfm"):
+    if kind.startswith("sorted_plf"):
         from .raycast_pallas import sweep_sorted_tiles_fused
         tab, tck = table
         bv, bh = sweep_sorted_tiles_fused(
             tck, meta, kv_sec, tab.shape[2], ids.reshape(-1),
             flat[0][:, 0], flat[1][:, 0], *flat[2:], chunk=chunk,
             tile_rows=tile_rows,
-            transpose_mode=("mxu" if kind == "sorted_plfm" else "xlu"),
+            transpose_mode=("mxu" if kind.startswith("sorted_plfm")
+                            else "xlu"),
+            fetch=("ragged" if kind.endswith("r") else "full"),
             interpret=interpret)
     elif kind == "sorted_pl":
         from .raycast_pallas import sweep_sorted_tiles_pallas

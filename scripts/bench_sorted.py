@@ -39,7 +39,8 @@ def main():
     import jax.numpy as jnp
     from pyracecarsimulator_tpu.maps.loader import load_builtin
     from pyracecarsimulator_tpu.maps.sectors import build_sector_map
-    from pyracecarsimulator_tpu.ops.raycast_sectors import raycast_sectors
+    from pyracecarsimulator_tpu.ops.raycast_sectors import (
+        raycast_sectors, sector_table_arg)
     from pyracecarsimulator_tpu.ops.raymarch_xla import beam_angles
 
     A = int(os.environ.get("AGENTS", "4096"))
@@ -150,7 +151,8 @@ def main():
                                            else ()):
             print(f"[bench] {label}_{tag}: compiling ...", file=sys.stderr,
                   flush=True)
-            args = (smap.table, smap.meta, xb, yb, ct, st)
+            args = (sector_table_arg(smap, mode), smap.meta, xb, yb,
+                    ct, st)
             timed1(fn, *args)
             t1 = min(timed1(fn, *args) for _ in range(3))
             t3 = min(timed3(fn, *args) for _ in range(3))
@@ -185,8 +187,8 @@ def main():
     for spec in modes:
         mode, chunk = spec.rsplit(":", 1)
         r = jax.jit(partial(run_mode.__wrapped__, mode=mode,
-                            chunk=int(chunk)))(smap.table, smap.meta, xb,
-                                               yb, ct, st)
+                            chunk=int(chunk)))(
+            sector_table_arg(smap, mode), smap.meta, xb, yb, ct, st)
         if r_ref is None:
             r_ref = r
         else:
