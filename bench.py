@@ -34,6 +34,7 @@ Timing methodology (round 3; see CLAUDE.md + BASELINE.md):
 """
 
 import json
+import os
 import sys
 import time
 
@@ -110,7 +111,9 @@ def main():
     from pyracecarsimulator_tpu.parallel import (
         make_rollout_fn, make_gap_follower_policy)
 
-    A, B = 4096, 1080
+    # BENCH_AGENTS: CPU smoke-testing override (driver runs the default)
+    A = int(os.environ.get("BENCH_AGENTS", "4096"))
+    B = 1080
     extra = {"device": str(jax.devices()[0]), "agents": A, "beams": B}
     tm = Timing()
 
@@ -780,7 +783,6 @@ def main():
 
     # full evidence -> committed sidecar; stdout stays under the driver's
     # 2000-char tail capture (module doc)
-    import os
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:

@@ -94,7 +94,9 @@ class SectorSegmentMap:
 
 
 _CK_CG = 128          # fused-kernel chunk-group width (one lane register)
-_CK_MIN_K = 128       # capacity below which the fused kernel is never used
+_CK_MIN_K = 112       # capacity below which the fused kernel is never
+                      # used (= ops.raycast_sectors._AUTO_MIN_K, the
+                      # measured round-5 dense/kernel crossover)
 
 
 def build_table_ck(table, cg: int = _CK_CG):

@@ -469,9 +469,12 @@ def _sweep_xla_sorted_pt(table, meta, kv_sec, ids, x, y, cos_t, sin_t,
     return bv[:g_n], bh[:g_n]
 
 
-_AUTO_MIN_K = 192     # capacity where the mean-bound kernel beats dense
-_AUTO_TR = 128        # best of the measured v5e tile sweep (BOTTLENECK.md)
+_AUTO_MIN_K = 112     # lowest MEASURED capacity where the fused kernel
+                      # beats dense (round-5 ladder; see resolve docstring)
+_AUTO_TR = 128        # best of the measured v5e tile ladder (BOTTLENECK.md)
 _AUTO_CHUNK = 24
+_AUTO_KIND = "sorted_plf"   # round 5: fused-gather kernel (berlin 7.3e8
+                            # vs 4.6e8 for the XLA-pre-gather kernel)
 
 
 def resolve_sector_mode(mode: str, k: int, bb: int,
@@ -479,31 +482,37 @@ def resolve_sector_mode(mode: str, k: int, bb: int,
     """Resolve "auto" to a concrete (mode, chunk | None) for a table of
     capacity ``k`` swept in ``bb``-beam blocks.
 
-    "auto" picks the ragged sorted-tile Pallas kernel
-    (raycast_pallas.sweep_sorted_tiles_pallas) when the capacity is large
+    "auto" picks the fused-gather sorted-tile Pallas kernel
+    (raycast_pallas.sweep_sorted_tiles_fused) when the capacity is large
     enough that capacity-bound dense work dominates, and only on a real
     TPU backend with ``interpret=False`` (the interpret-mode kernel is
     orders slower than the XLA sweep, so debug/parity runs that force
     ``interpret=True`` on a TPU fall back to "dense"; ADVICE r4).
     Everything else stays "dense".
 
-    Threshold calibration (v5e, scripts/bench_sorted.py with NS/TILE
-    overrides): K=32 (levine, any geometry — even 8 m tiles with
-    90-degree sectors keep its max list at 28): kernel 1.5e9 vs dense
-    3.25e9 (kernel 0.46x — its ~0.6 ns/ray prep floor dominates);
-    K=432 (berlin at ns=32/tile=1): kernel 4.28e8 vs dense 2.32e8
-    (1.84x); K=496 (berlin default): 4.9e8 vs 2.34e8 (2.1x). Neither
-    builtin map can realize capacities inside (32, 432), so the 192 cut
-    is an interpolation: dense's per-slot cost saturates HBM-bound well
-    before K=432 (BASELINE round-3 "K=256->512 flat"), so the true
-    crossover is likely nearer ~100-150; 192 is conservative toward the
-    path with the lower fixed cost.
+    Threshold calibration, round 5 — a MEASURED ladder, not the round-4
+    interpolation (v5e, 4096x1080, scripts/bench_sorted.py with MR/NS/
+    TILE capacity levers on berlin + forced-table_ck probes; parity 0.0
+    at every point):
+
+        K (batch mean)   dense      sorted_plf   ratio
+        32   (levine)    2.43e9     1.01e9       0.41x  <- dense wins
+        112  (23)        8.92e8     9.42e8       1.06x  <- crossover
+        160  (37)        6.65e8     9.95e8       1.50x
+        256  (69)        3.87e8     9.22e8       2.38x
+        496  (198)       2.34e8     7.33e8       3.13x
+
+    The cut sits at the lowest measured winning capacity (112); the
+    interval (32, 112) is unrealizable with the builtin geometry and is
+    conceded to "dense" (at 112 the kernel's edge is only 6%, and the
+    kernel's per-ray fixed costs — sort, ray transposes, per-row DMA —
+    dominate as K shrinks).
     """
     if mode != "auto":
         return mode, None
     if (k >= _AUTO_MIN_K and bb == 128 and not interpret
             and jax.default_backend() == "tpu"):
-        return f"sorted_pl@{_AUTO_TR}", _AUTO_CHUNK
+        return f"{_AUTO_KIND}@{_AUTO_TR}", _AUTO_CHUNK
     return "dense", None
 
 
@@ -720,7 +729,17 @@ def sector_table_arg(smap, mode: str):
 
 def _auto_agent_chunk(a_n: int, nblk: int, k: int, mode: str) -> int:
     """Agents per chunk (0 = no chunking) for a batch of ``a_n`` agents,
-    ``nblk`` beam blocks, capacity-``k`` table swept in ``mode``."""
+    ``nblk`` beam blocks, capacity-``k`` table swept in ``mode``.
+
+    The fused-gather kernel (sorted_plf*) has an O(table) working set —
+    its only large-batch limit is the scalar-prefetch SMEM budget for
+    the per-row ids (1 MB; 32k x 9 blocks = 1.2 MB overflows, measured)
+    — so it chunks at a fixed 8192 agents (ids 295 KB at nblk=9; divides
+    the 32k/65k configs exactly; measured within 3% of the unchunked
+    4096 rate on v5e). The XLA sweeps chunk on the pre-gather bytes
+    budget instead."""
+    if mode.startswith("sorted_plf"):
+        return 8192 if a_n > 8192 else 0
     per_agent = nblk * 4 * k * 4.0          # (NBLK, 4, K) f32 rows
     if mode.startswith("sorted_pl"):
         per_agent *= 3.0                    # + slot-major transpose bufs

@@ -50,11 +50,12 @@ def main():
     # auto-threshold calibration (resolve_sector_mode._AUTO_MIN_K)
     ns_ = int(os.environ.get("NS", "16"))
     tile_ = float(os.environ.get("TILE", "2.0"))
+    mr_ = float(os.environ.get("MR", "10.0"))   # max_range: capacity lever
     m = load_builtin(name)
     t0 = time.time()
     smap = build_sector_map(
         np.asarray(m.occupancy), m.resolution, (m.origin_x, m.origin_y),
-        max_range=10.0, tile_size=tile_, ns=ns_,
+        max_range=mr_, tile_size=tile_, ns=ns_,
         real_hw=(m.height, m.width))
     meta = np.asarray(smap.meta)
     real = meta[:, 0] + (meta[:, 2] - meta[:, 1])
@@ -123,7 +124,7 @@ def main():
             return raycast_sectors(
                 table, meta_j, smap.tiles_shape, smap.tile_size,
                 smap.tile_origin, smap.ns, smap.kv_sec, x0 + d, y0 + d,
-                xb_, yb_, ct_, st_, 10.0, 128, chunk, False, False, 8,
+                xb_, yb_, ct_, st_, mr_, 128, chunk, False, False, 8,
                 mode)
 
         @jax.jit
@@ -180,7 +181,7 @@ def main():
         return raycast_sectors(
             table, meta_j, smap.tiles_shape, smap.tile_size,
             smap.tile_origin, smap.ns, smap.kv_sec, x0, y0, xb, yb, ct,
-            st, 10.0, 128, chunk, False, False, 8, mode)
+            st, mr_, 128, chunk, False, False, 8, mode)
 
     from functools import partial
     r_ref = None
