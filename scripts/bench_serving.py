@@ -134,14 +134,14 @@ def main():
 
     print("[multitrack] compiling fwd ...", file=sys.stderr, flush=True)
     rec["multitrack_fwd_rays_s"] = float(f"""{rate(
-        mt_fwd, (stack, poses, mids), reps, reps * A * B, rec,
+        mt_fwd, (stack, poses, mids), reps, A * B, rec,
         'mt_fwd'):.4g}""")
     print(f"[multitrack] fwd {rec['multitrack_fwd_rays_s']:.3e}",
           file=sys.stderr, flush=True)
     print("[multitrack] compiling fwd+bwd ...", file=sys.stderr,
           flush=True)
     rec["multitrack_fwdbwd_rays_s"] = float(f"""{rate(
-        mt_fb, (stack, poses, mids), reps, reps * A * B, rec,
+        mt_fb, (stack, poses, mids), reps, A * B, rec,
         'mt_fb'):.4g}""")
     print(f"[multitrack] fwd+bwd {rec['multitrack_fwdbwd_rays_s']:.3e}",
           file=sys.stderr, flush=True)
@@ -176,7 +176,7 @@ def main():
     print("[ring] compiling 1-device ring scan (berlin) ...",
           file=sys.stderr, flush=True)
     rec["ring_1dev_rays_s"] = float(f"""{rate(
-        ring_loop, (p_ber,), reps, reps * half * B, rec,
+        ring_loop, (p_ber,), reps, half * B, rec,
         'ring'):.4g}""")
     print(f"[ring] rate {rec['ring_1dev_rays_s']:.3e}", file=sys.stderr,
           flush=True)
