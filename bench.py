@@ -581,7 +581,13 @@ def main():
             mt = load_builtin(track)
             xt, yt, *_ = ray_args(mt)
             s0t = state_from_pose(xt, yt, jnp.zeros(A))
+            # smooth steering: the reference bang-bang law has zero
+            # derivative w.r.t. desired steer (dynamics.compute_steer_vel
+            # note), so the trained policy head needs SimParams
+            # steer_mode="smooth" for non-degenerate gradients
+            from pyracecarsimulator_tpu.config import SimParams
             bundle_t = build_sim(track, scan=ScanParams(num_beams=B),
+                                 sim=SimParams(steer_mode="smooth"),
                                  backend="sectors")
             stept = make_step_fn(bundle_t, with_noise=False)
 

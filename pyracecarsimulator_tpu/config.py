@@ -112,6 +112,15 @@ class SimParams:
     # Speed P-controller gain is the reference's 2*max_accel/max_speed
     # (SURVEY.md §2a "Input processing"); override here if desired.
     speed_kp: Any = None
+    # Steering actuation: "bang" = the reference's bang-bang steering
+    # velocity (sign(err)*max — its derivative w.r.t. the DESIRED steer
+    # is zero a.e., so control/policy gradients through steering
+    # vanish; measured round 5); "smooth" = clamped P-control
+    # (clip(steer_kp*err, +-max_steer_vel)) — identical saturated
+    # behavior away from the target, differentiable near it. Use
+    # "smooth" for BPTT/policy training through steering.
+    steer_mode: Any = "bang"
+    steer_kp: Any = None            # default 2*max_steer_vel/max_steer_angle
 
 
 # Static (non-traced) fields: these change compiled shapes or code paths, so
@@ -123,7 +132,7 @@ STATIC_SCAN_FIELDS = (
     "use_theta_table",
     "interp",
 )
-STATIC_SIM_FIELDS = ("dynamics",)
+STATIC_SIM_FIELDS = ("dynamics", "steer_mode")
 
 
 def replace(params, **kw):

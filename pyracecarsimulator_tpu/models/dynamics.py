@@ -36,25 +36,42 @@ def compute_accel(v_des, v, p: CarParams, kp=None):
     return jnp.clip(a, lo, hi)
 
 
-def compute_steer_vel(steer_des, steer, p: CarParams):
-    """Bang-bang steering velocity toward the desired angle."""
+def compute_steer_vel(steer_des, steer, p: CarParams,
+                      mode: str = "bang", kp=None):
+    """Steering velocity toward the desired angle.
+
+    ``mode="bang"`` is the reference's bang-bang law (sign(err)*max) —
+    NOTE its derivative w.r.t. ``steer_des`` is zero a.e., so policy/
+    control gradients through steering vanish (measured round 5; use
+    the smooth mode for BPTT). ``mode="smooth"`` is clamped P-control:
+    identical saturated behavior for |err| >= max_vel/kp,
+    differentiable inside. ``kp`` defaults to
+    2*max_steer_vel/max_steer_angle (saturates at half the steering
+    range)."""
     dif = steer_des - steer
+    if mode == "smooth":
+        if kp is None:
+            kp = 2.0 * p.max_steer_vel / p.max_steer_angle
+        return jnp.clip(kp * dif, -p.max_steer_vel, p.max_steer_vel)
     return jnp.where(jnp.abs(dif) > 1e-4,
                      jnp.sign(dif) * p.max_steer_vel, 0.0)
 
 
 def process_input(v_des, steer_des, state: CarState, p: CarParams,
-                  kp=None):
+                  kp=None, steer_mode: str = "bang", steer_kp=None):
     """Desired (speed, steer) -> clamped (accel, steer_vel).
 
     Desired values are themselves clamped to actuator ranges first, as the
     reference facade does on ``drive()``. ``kp`` overrides the speed
-    P-gain (SimParams.speed_kp).
+    P-gain (SimParams.speed_kp); ``steer_mode``/``steer_kp`` select the
+    steering law (SimParams.steer_mode — "smooth" for differentiable
+    steering, see compute_steer_vel).
     """
     v_des = jnp.clip(v_des, -p.max_speed, p.max_speed)
     steer_des = jnp.clip(steer_des, -p.max_steer_angle, p.max_steer_angle)
     accel = compute_accel(v_des, state.velocity, p, kp)
-    steer_vel = compute_steer_vel(steer_des, state.steer_angle, p)
+    steer_vel = compute_steer_vel(steer_des, state.steer_angle, p,
+                                  steer_mode, steer_kp)
     return accel, steer_vel
 
 

@@ -234,8 +234,9 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
     def shard_body(m, offs, cosines, car_dists, state, v_des, steer_des,
                    key, mid):
         # Everything here sees the LOCAL agent slab + local beam wedge.
-        accel, steer_vel = dyn.process_input(v_des, steer_des, state, car,
-                                             kp=sim.speed_kp)
+        accel, steer_vel = dyn.process_input(
+            v_des, steer_des, state, car, kp=sim.speed_kp,
+            steer_mode=sim.steer_mode, steer_kp=sim.steer_kp)
         if sim.dynamics == "st":
             new = dyn.st_step(state, accel, steer_vel, car, sim.dt)
         elif sim.dynamics == "ks":

@@ -298,8 +298,9 @@ def make_step_fn(bundle: SimBundle, backend: Optional[str] = None,
         inner_cell["map"] = map_obj
         v_des, steer_des = action
         # 1. input processing (reference drive() + compute_accel)
-        accel, steer_vel = dyn.process_input(v_des, steer_des, state, car,
-                                             kp=sim.speed_kp)
+        accel, steer_vel = dyn.process_input(
+            v_des, steer_des, state, car, kp=sim.speed_kp,
+            steer_mode=sim.steer_mode, steer_kp=sim.steer_kp)
         # 2. dynamics update (reference update_pose())
         if dynamics == "st":
             new = dyn.st_step(state, accel, steer_vel, car, sim.dt)

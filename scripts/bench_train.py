@@ -84,7 +84,7 @@ def main():
     except Exception:
         pass
     import jax.numpy as jnp
-    from pyracecarsimulator_tpu.config import ScanParams
+    from pyracecarsimulator_tpu.config import ScanParams, SimParams
     from pyracecarsimulator_tpu.maps.loader import load_builtin
     from pyracecarsimulator_tpu.simulator import build_sim, make_step_fn
     from pyracecarsimulator_tpu.state import state_from_pose
@@ -102,6 +102,7 @@ def main():
     s0 = state_from_pose(jnp.asarray(X), jnp.asarray(Y), jnp.asarray(TH))
 
     bundle = build_sim(name, scan=ScanParams(num_beams=B),
+                       sim=SimParams(steer_mode="smooth"),
                        backend="sectors")
     step = make_step_fn(bundle, with_noise=False)
     loop = make_train_loop(step, A, B, T, reps)

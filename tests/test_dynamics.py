@@ -124,3 +124,22 @@ def test_standstill_latch():
     assert float(out.velocity) == 0.0
     assert float(out.x) == 0.0
     assert bool(out.collision)
+
+
+def test_steer_gradient_modes():
+    """The reference bang-bang steering law has zero derivative w.r.t.
+    the desired steer (sign(err)*max); steer_mode="smooth" restores
+    gradient flow with identical saturated behavior (round 5)."""
+    import jax
+    import jax.numpy as jnp
+    from pyracecarsimulator_tpu.models.dynamics import compute_steer_vel
+    p = CarParams()
+    g_bang = jax.grad(lambda d: compute_steer_vel(d, 0.0, p))(0.1)
+    g_smooth = jax.grad(
+        lambda d: compute_steer_vel(d, 0.0, p, "smooth"))(0.01)
+    assert float(g_bang) == 0.0
+    assert float(g_smooth) > 0.0
+    # saturated regions agree with bang-bang
+    v_b = compute_steer_vel(0.4, 0.0, p)
+    v_s = compute_steer_vel(0.4, 0.0, p, "smooth")
+    assert float(jnp.abs(v_b - v_s)) < 1e-6
