@@ -810,8 +810,14 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bb = sector_block_width(smap, num_beams, fov, bb)
-    mode, auto_chunk = resolve_sector_mode(mode, smap.table.shape[2], bb,
-                                           bool(interpret))
+    if use_pallas:
+        # the grp-kernel A/B route ignores sweep modes; keep the table
+        # argument plain (fused modes pass a (table, table_ck) pair the
+        # grp kernel cannot take)
+        mode, auto_chunk = "dense", None
+    else:
+        mode, auto_chunk = resolve_sector_mode(
+            mode, smap.table.shape[2], bb, bool(interpret))
     poses = jnp.asarray(poses)
     batch = poses.shape[:-1]
     poses2 = poses.reshape(-1, 3)

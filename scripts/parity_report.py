@@ -123,6 +123,11 @@ def main():
                                        mode="sorted_pl@128",
                                        interpret=interp)),
             }
+            if smap.table_ck is not None:
+                backends_1080["sectors exact (fused kernel, 1080b)"] = \
+                    np.asarray(scan_poses_sectors(
+                        smap, jp, num_beams=1080, mode="sorted_plf@128",
+                        interpret=interp))
         oracles = {"edf march (XLA)": ("DT-march oracle", o_march),
                    "segments exact (XLA)": ("geometry oracle", o_geom),
                    "segments exact (Pallas)": ("geometry oracle", o_geom),
