@@ -738,14 +738,23 @@ def _auto_agent_chunk(a_n: int, nblk: int, k: int, mode: str) -> int:
     the 32k/65k configs exactly; measured within 3% of the unchunked
     4096 rate on v5e). The XLA sweeps chunk on the pre-gather bytes
     budget instead."""
+    def balanced(cap):
+        # smallest chunk count that fits under ``cap``, then the chunk
+        # size balanced across chunks (1024-aligned) — a 33k batch pads
+        # ~9% instead of the 24% a fixed cap-sized chunk would
+        if a_n <= cap:
+            return 0
+        nc = -(-a_n // cap)
+        return min(cap, -(-(-(-a_n // nc)) // 128) * 128)
+
     if mode.startswith("sorted_plf"):
-        return 8192 if a_n > 8192 else 0
+        return balanced(8192)
     per_agent = nblk * 4 * k * 4.0          # (NBLK, 4, K) f32 rows
     if mode.startswith("sorted_pl"):
         per_agent *= 3.0                    # + slot-major transpose bufs
-    c = int(_CHUNK_BYTES_BUDGET // per_agent)
-    c = max(2048, (c // 1024) * 1024)
-    return c if a_n > c else 0
+    cap = int(_CHUNK_BYTES_BUDGET // per_agent)
+    cap = max(2048, (cap // 1024) * 1024)
+    return balanced(cap)
 
 
 def _scan_chunk(smap, poses2, num_beams, fov, max_range, theta_disc, bb,
