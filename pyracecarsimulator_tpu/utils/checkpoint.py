@@ -70,3 +70,31 @@ def load_orbax(path: str, template_state: CarState,
     ckptr = ocp.StandardCheckpointer()
     out = ckptr.restore(os.path.abspath(path), target)
     return out["state"], out.get("key"), int(out["step"])
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Checkpoint an ARBITRARY pytree (e.g. training state: policy
+    params + optax optimizer state + CarState + counters) as a ``.npz``
+    of its leaves. The tree structure is not stored — ``load_pytree``
+    takes a template with the same structure (the natural pattern for
+    resuming: the code that builds the state also rebuilds its
+    skeleton). Round 5, backing ``parallel.train`` checkpoint/resume."""
+    leaves = jax.tree.leaves(tree)
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             n=np.asarray(len(leaves)),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_pytree(path: str, template: Any) -> Any:
+    """Restore a pytree saved by ``save_pytree`` into the structure of
+    ``template`` (leaf count is validated)."""
+    p = path if path.endswith(".npz") else path + ".npz"
+    treedef = jax.tree.structure(template)
+    with np.load(p) as z:
+        n = int(z["n"])
+        if n != treedef.num_leaves:
+            raise ValueError(
+                f"checkpoint holds {n} leaves but the template has "
+                f"{treedef.num_leaves}")
+        leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+    return jax.tree.unflatten(treedef, leaves)

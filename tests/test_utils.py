@@ -54,3 +54,32 @@ def test_timed_loop_runs():
     x = jnp.ones((128, 128))
     sec = timed_loop(lambda a: jnp.sum(a * 2.0), x, reps=5, overhead_s=0.0)
     assert sec > 0
+
+
+def test_checkpoint_training_state_roundtrip(tmp_path):
+    """Training state (policy params + optax opt state + sim state) is a
+    plain pytree, so the checkpoint layer round-trips it unchanged —
+    long multi-host sweeps resume mid-training (SURVEY §5 row)."""
+    import optax
+    import jax.numpy as jnp
+    import numpy as np
+    from pyracecarsimulator_tpu.state import state_from_pose
+    from pyracecarsimulator_tpu.utils.checkpoint import (save_pytree,
+                                                         load_pytree)
+    params = {"w": jnp.arange(8.0), "b": jnp.float32(0.5)}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    # advance once so the opt state is non-trivial (adam moments)
+    g = {"w": jnp.ones(8), "b": jnp.float32(1.0)}
+    upd, opt_state = opt.update(g, opt_state, params)
+    sim_state = state_from_pose(jnp.ones(4), jnp.zeros(4), jnp.ones(4))
+    bundle = {"params": params, "opt_state": opt_state,
+              "sim_state": sim_state, "step": jnp.int32(7)}
+    path = str(tmp_path / "train_ckpt")
+    save_pytree(path, bundle)
+    restored = load_pytree(path, bundle)
+    flat_a = jax.tree.leaves(bundle)
+    flat_b = jax.tree.leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
