@@ -94,9 +94,17 @@ class SectorSegmentMap:
 
 
 _CK_CG = 128          # fused-kernel chunk-group width (one lane register)
-_CK_MIN_K = 112       # capacity below which the fused kernel is never
-                      # used (= ops.raycast_sectors._AUTO_MIN_K, the
-                      # measured round-5 dense/kernel crossover)
+
+
+def _ck_min_k() -> int:
+    """Capacity below which the fused-kernel layout is never built =
+    the measured dense/kernel crossover, imported from its single
+    source (ops.raycast_sectors._AUTO_MIN_K) so a recalibration there
+    cannot leave auto mode selecting a kernel whose layout was never
+    built (code-review r5). Lazy import: maps must not import ops at
+    module load."""
+    from ..ops.raycast_sectors import _AUTO_MIN_K
+    return _AUTO_MIN_K
 
 
 def build_table_ck(table, cg: int = _CK_CG):
@@ -226,6 +234,7 @@ def add_segments(smap: SectorSegmentMap, new_segs: np.ndarray
     counts_v = meta[:, 0].copy()
     counts_h = (meta[:, 2] - meta[:, 1]).copy()
     table = smap.table
+    tck = smap.table_ck
     for i, seg in enumerate(new_segs):
         lid = np.where(memb[:, i])[0]
         if len(lid) == 0:
@@ -244,10 +253,17 @@ def add_segments(smap: SectorSegmentMap, new_segs: np.ndarray
             counts_h[lid] += 1
         table = table.at[jnp.asarray(lid), :, jnp.asarray(slots)].set(
             jnp.asarray(seg, jnp.float32))
+        if tck is not None:
+            # the fused-kernel layout maps table slot s to
+            # (s // cg, param, s % cg): the same tiny per-segment
+            # scatter keeps the incremental path O(n_new) instead of a
+            # ~100 MB device re-layout per obstacle (code-review r5)
+            cg = tck.shape[3]
+            tck = tck.at[jnp.asarray(lid), jnp.asarray(slots // cg), :,
+                         jnp.asarray(slots % cg)].set(
+                jnp.asarray(seg[:3], jnp.float32))
     meta2 = np.stack([counts_v, np.full(len(meta), kv, counts_v.dtype),
                       kv + counts_h], axis=1).astype(np.int32)
-    tck = (build_table_ck(table, smap.table_ck.shape[3])
-           if smap.table_ck is not None else None)   # derived re-layout
     return dataclasses.replace(
         smap, table=table, meta=jnp.asarray(meta2),
         n_segments=smap.n_segments + len(new_segs), table_ck=tck)
@@ -344,7 +360,7 @@ def build_sector_map(occupancy: np.ndarray, resolution: float,
     # fused-kernel layout only in the large-capacity regime where the
     # sorted kernel is ever selected (resolve_sector_mode)
     tck = (build_table_ck(table_j)
-           if kv_sec + kh_sec >= _CK_MIN_K else None)
+           if kv_sec + kh_sec >= _ck_min_k() else None)
     return SectorSegmentMap(
         table=table_j,
         meta=jnp.asarray(meta),
@@ -430,7 +446,7 @@ def stack_sector_maps(maps) -> StackedSectorMap:
         grids.append((nr, nc, m.tile_origin[0], m.tile_origin[1]))
         extents.append(m.extent)
     table_j = jnp.asarray(np.concatenate(tables, axis=0))
-    tck = build_table_ck(table_j) if kv + kh >= _CK_MIN_K else None
+    tck = build_table_ck(table_j) if kv + kh >= _ck_min_k() else None
     return StackedSectorMap(
         table=table_j,
         meta=jnp.asarray(np.concatenate(metas, axis=0)),

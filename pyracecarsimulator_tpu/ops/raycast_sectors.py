@@ -478,7 +478,8 @@ _AUTO_KIND = "sorted_plf"   # round 5: fused-gather kernel (berlin 7.3e8
 
 
 def resolve_sector_mode(mode: str, k: int, bb: int,
-                        interpret: bool = False) -> tuple:
+                        interpret: bool = False,
+                        kv: int | None = None) -> tuple:
     """Resolve "auto" to a concrete (mode, chunk | None) for a table of
     capacity ``k`` swept in ``bb``-beam blocks.
 
@@ -510,7 +511,11 @@ def resolve_sector_mode(mode: str, k: int, bb: int,
     """
     if mode != "auto":
         return mode, None
-    if (k >= _AUTO_MIN_K and bb == 128 and not interpret
+    # single-orientation tables (kv or kh below the sublane quantum)
+    # cannot run the sorted kernels (c = min(chunk, kv, kh) would be 0);
+    # auto concedes them to dense instead of erroring (code-review r5)
+    both_orient = kv is None or (kv >= 8 and k - kv >= 8)
+    if (k >= _AUTO_MIN_K and bb == 128 and both_orient and not interpret
             and jax.default_backend() == "tpu"):
         return f"{_AUTO_KIND}@{_AUTO_TR}", _AUTO_CHUNK
     return "dense", None
@@ -720,7 +725,7 @@ def sector_table_arg(smap, mode: str):
             raise ValueError(
                 f"mode {mode!r} needs the fused-kernel table layout; this "
                 "map was built without one (capacity < "
-                "maps.sectors._CK_MIN_K, or a pre-round-5 pickle) — "
+                "the _AUTO_MIN_K crossover, or a pre-round-5 pickle) — "
                 "rebuild via build_sector_map or attach "
                 "maps.sectors.build_table_ck(table)")
         return (smap.table, smap.table_ck)
@@ -740,8 +745,9 @@ def _auto_agent_chunk(a_n: int, nblk: int, k: int, mode: str) -> int:
     budget instead."""
     def balanced(cap):
         # smallest chunk count that fits under ``cap``, then the chunk
-        # size balanced across chunks (1024-aligned) — a 33k batch pads
-        # ~9% instead of the 24% a fixed cap-sized chunk would
+        # size balanced across chunks (128-aligned = the kernel's tile
+        # rows) — a 33k batch pads ~1% instead of the 24% a fixed
+        # cap-sized chunk would
         if a_n <= cap:
             return 0
         nc = -(-a_n // cap)
@@ -826,7 +832,7 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
         mode, auto_chunk = "dense", None
     else:
         mode, auto_chunk = resolve_sector_mode(
-            mode, smap.table.shape[2], bb, bool(interpret))
+            mode, smap.table.shape[2], bb, bool(interpret), smap.kv_sec)
     poses = jnp.asarray(poses)
     batch = poses.shape[:-1]
     poses2 = poses.reshape(-1, 3)
@@ -1032,8 +1038,14 @@ def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
                              fov: float = 4.712388980384690,
                              max_range=10.0, theta_discretization: int = 0,
                              bb=None, mode: str = "auto",
-                             interpret=None) -> jnp.ndarray:
+                             interpret=None,
+                             agent_chunk=None) -> jnp.ndarray:
     """Multi-track batched scan: agent i scans on map ``map_ids[i]``.
+
+    ``agent_chunk``: as ``scan_poses_sectors`` — auto-derived chunking
+    for very large batches (None = auto; 0 = off), which also bounds
+    the fused kernel's per-row ids scalar-prefetch SMEM (1 MB budget;
+    a 32k x 9-block un-chunked batch overflows it).
 
     ``stack``: maps/sectors.StackedSectorMap. One fused sweep serves the
     whole agent batch across all stacked tracks — per-agent map routing is
@@ -1041,24 +1053,55 @@ def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
     ``mode="auto"`` resolves exactly as ``scan_poses_sectors`` (the
     sorted-tile kernel for large-capacity stacks on a real TPU).
     """
-    from .common import beam_angles, quantize_angles
     bb = sector_block_width(stack, num_beams, fov, bb)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     mode, auto_chunk = resolve_sector_mode(mode, stack.table.shape[2], bb,
-                                           bool(interpret))
-    nblk = -(-num_beams // bb)
-    b_pad = nblk * bb - num_beams
+                                           bool(interpret), stack.kv_sec)
     poses = jnp.asarray(poses)
     batch = poses.shape[:-1]
     poses2 = poses.reshape(-1, 3)
     mid = jnp.asarray(map_ids, jnp.int32).reshape(-1)
+    a_n = poses2.shape[0]
+    nblk = -(-num_beams // bb)
+    if agent_chunk is None:
+        agent_chunk = _auto_agent_chunk(a_n, nblk, stack.table.shape[2],
+                                        mode)
+    args = (stack, num_beams, fov, max_range, theta_discretization, bb,
+            auto_chunk, interpret, mode)
+    if agent_chunk and a_n > agent_chunk:
+        nc = -(-a_n // agent_chunk)
+        pad = nc * agent_chunk - a_n
+        if pad:
+            poses2 = jnp.concatenate(
+                [poses2, jnp.broadcast_to(poses2[-1:], (pad, 3))])
+            mid = jnp.concatenate(
+                [mid, jnp.broadcast_to(mid[-1:], (pad,))])
+        r = jax.lax.map(
+            lambda pm: _scan_chunk_multi(args[0], pm[0], pm[1],
+                                         *args[1:]),
+            (poses2.reshape(nc, agent_chunk, 3),
+             mid.reshape(nc, agent_chunk)))
+        r = r.reshape(nc * agent_chunk, num_beams)[:a_n]
+    else:
+        r = _scan_chunk_multi(args[0], poses2, mid, *args[1:])
+    return r.reshape(*batch, num_beams)
+
+
+def _scan_chunk_multi(stack, poses2, mid, num_beams, fov, max_range,
+                      theta_disc, bb, auto_chunk, interpret, mode):
+    """Fan build -> stacked raycast -> per-agent extent mask for one
+    (A, 3) pose chunk of the multi-track path (chunking bounds the
+    fused kernel's per-row ids scalar-prefetch SMEM exactly as in
+    ``scan_poses_sectors``; code-review r5)."""
+    from .common import beam_angles, quantize_angles
+    nblk = -(-num_beams // bb)
+    b_pad = nblk * bb - num_beams
     offs = beam_angles(num_beams, fov)
     if b_pad:
         offs = jnp.concatenate(
             [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
-    ang = quantize_angles(poses2[:, 2:3] + offs[None, :],
-                          theta_discretization)
+    ang = quantize_angles(poses2[:, 2:3] + offs[None, :], theta_disc)
     ct, st = jnp.cos(ang), jnp.sin(ang)
     a_n = poses2.shape[0]
     xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
@@ -1072,5 +1115,4 @@ def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
         st.reshape(shp), max_range,
         auto_chunk or 64, mode, bool(interpret))[:, :num_beams]
     # per-agent extent mask (reference out-of-map => max_range)
-    r = jnp.where(inside[:, None], r, max_range)
-    return r.reshape(*batch, num_beams)
+    return jnp.where(inside[:, None], r, max_range)

@@ -99,7 +99,8 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
                                            resolve_sector_mode,
                                            sector_table_arg)
         sec_mode, sec_chunk = resolve_sector_mode(
-            "auto", segments_or_map.table.shape[2], bb)
+            "auto", segments_or_map.table.shape[2], bb,
+            kv=segments_or_map.kv_sec)
 
     def shard_body(m, offs, poses):
         # poses: (A_loc, 3); offs: (B_loc,) this device's beam wedge
@@ -195,7 +196,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
                                            sector_table_arg)
         bb = _sector_bb(stack, num_beams, float(sc.fov))
         sec_mode, sec_chunk = resolve_sector_mode(
-            "auto", stack.table.shape[2], bb)
+            "auto", stack.table.shape[2], bb, kv=stack.kv_sec)
     else:
         if bundle.segmap is None:
             raise ValueError("sharded step needs the segment backend")
@@ -211,7 +212,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
             smap = bundle.segmap
             bb = _sector_bb(smap, num_beams, float(sc.fov))
             sec_mode, sec_chunk = resolve_sector_mode(
-                "auto", smap.table.shape[2], bb)
+                "auto", smap.table.shape[2], bb, kv=smap.kv_sec)
         else:
             seg_params = bundle.segmap.params
             seg_kv = getattr(bundle.segmap, "kv", 0)

@@ -549,7 +549,13 @@ def test_auto_agent_chunk_thresholds():
     assert _auto_agent_chunk(4096, 9, 32, "dense") == 0
     # 32k berlin-class chunks under the sorted kernel's 3x working set
     c = _auto_agent_chunk(32768, 9, 496, "sorted_pl@128")
-    assert 0 < c <= 16384 and c % 1024 == 0
+    assert 0 < c <= 16384 and c % 128 == 0
+    # fused-kernel batches chunk at the SMEM ids cap, balanced across
+    # chunks (128-aligned)
+    cf = _auto_agent_chunk(33000, 9, 496, "sorted_plf@128")
+    assert 0 < cf <= 8192 and cf % 128 == 0
+    nc = -(-33000 // cf)
+    assert nc * cf - 33000 < 0.05 * 33000   # <5% padding
     # levine-class K=32 never chunks below 65k
     assert _auto_agent_chunk(65536, 9, 32, "dense") == 0
 
@@ -618,3 +624,40 @@ def test_table_ck_roundtrip(blobby_bigk):
     flat = tck.transpose(0, 2, 1, 3).reshape(l, 3, ng * cg)
     np.testing.assert_array_equal(flat[:, :, :k],
                                   np.asarray(smap.table)[:, :3, :])
+
+
+def test_add_segments_updates_table_ck_incrementally(blobby):
+    """add_segments keeps the fused-kernel layout consistent via the
+    same O(n_new) scatter as the table (no full re-layout): the
+    incrementally updated table_ck must equal a fresh build from the
+    updated table (code-review r5)."""
+    from pyracecarsimulator_tpu.maps.sectors import (add_segments,
+                                                     build_table_ck)
+    occ, res, org, _, segs, poses = blobby
+    smap = build_sector_map(occ, res, org, max_range=MAXR, tile_size=4.0,
+                            ns=4, block_half=0.62, headroom=8)
+    assert smap.table_ck is not None
+    box = np.asarray([
+        (0.30, -0.20, 0.20, 1.0),    # two V + two H segments
+        (0.70, -0.20, 0.20, 1.0),
+        (-0.20, 0.30, 0.70, 0.0),
+        (0.20, 0.30, 0.70, 0.0)], np.float64)
+    sm2 = add_segments(smap, box)
+    np.testing.assert_array_equal(
+        np.asarray(sm2.table_ck),
+        np.asarray(build_table_ck(sm2.table)))
+
+
+def test_multi_agent_chunked_matches_unchunked(blobby_bigk):
+    """Multi-track chunked execution (SMEM-budget path for 32k+ fused
+    batches; code-review r5) is value-identical, pad tail included."""
+    from pyracecarsimulator_tpu.maps.sectors import stack_sector_maps
+    from pyracecarsimulator_tpu.ops.raycast_sectors import (
+        scan_poses_sectors_multi)
+    occ, res, org, smap, segs, poses = blobby_bigk
+    stack = stack_sector_maps([smap, smap])
+    mids = jnp.asarray(np.arange(poses.shape[0]) % 2, jnp.int32)
+    kw = dict(num_beams=540, fov=FOV, max_range=MAXR, bb=64)
+    r0 = scan_poses_sectors_multi(stack, mids, poses, agent_chunk=0, **kw)
+    r1 = scan_poses_sectors_multi(stack, mids, poses, agent_chunk=7, **kw)
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
