@@ -167,7 +167,13 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
     realistically trains across a track distribution): the step signature
     becomes ``step(state, action, map_ids, key=None)`` with ``map_ids``
     (A,) int32 sharded on 'agents', and agent i scans on
-    ``stack`` map ``map_ids[i]`` via the fused stacked sweep
+    ``stack`` map ``map_ids[i]`` via the fused stacked sweep.
+    Per-device slab bound (fused kernel): the kernel's per-row ids ride
+    scalar-prefetch SMEM (1 MB), so keep agent slabs under ~25k agents
+    per device at 9 beam blocks (the 65k multi-host config at >=8
+    devices is comfortably inside; a single-device 65k stacked batch
+    should use the unsharded ``scan_poses_sectors_multi``, which
+    auto-chunks)
     (ops/raycast_sectors.stack_block_ids + raycast_sectors_ids — the same
     sweep as the unsharded ``scan_poses_sectors_multi``, so values are
     bit-identical to it; tests/test_sharding.py). ``bundle`` still
