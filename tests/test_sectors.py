@@ -578,7 +578,8 @@ def test_fused_kernel_bitexact_vs_dense(blobby_bigk):
     occ, res, org, smap, segs, poses = blobby_bigk
     r_d = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
                              max_range=MAXR, bb=128, mode="dense")
-    for mode in ("sorted_plf@16", "sorted_plfm@16", "sorted_pl@16"):
+    for mode in ("sorted_plf@16", "sorted_plfm@16", "sorted_plfr@16",
+                 "sorted_plfmr@16", "sorted_pl@16"):
         r_f = scan_poses_sectors(smap, poses, num_beams=540, fov=FOV,
                                  max_range=MAXR, bb=128, mode=mode,
                                  interpret=True)
