@@ -31,6 +31,36 @@ def quantize_angles(ang, theta_discretization: int):
     return idx * (two_pi / theta_discretization)
 
 
+def fan_cos_sin(theta, offs, theta_discretization: int = 0):
+    """Beam-fan direction cosines: (A,) headings x (B,) static beam
+    offsets -> (ct, st), each (A, B).
+
+    Exact mode (theta_discretization == 0, the default) computes the
+    fan by ANGLE-ADDITION rotation: cos/sin of the heading ONCE PER
+    AGENT, rotated by the static per-beam (cos d, sin d) constants
+    (XLA constant-folds them) — 4 mul + 2 add per ray instead of two
+    multi-op transcendentals per ray. Derivatives are analytically
+    identical (d ct/d theta = -st); values differ from cos(theta + d)
+    by ~1 ulp (both are f32 roundings of the same real angle), and
+    every backend shares THIS definition, so cross-backend bit-parity
+    is unaffected. Measured v5e round 5: the per-ray transcendentals
+    were ~8% of the levine facade scan.
+
+    theta_discretization > 0 keeps the reference theta-bucket table
+    semantics (quantize_angles of the summed angle) unchanged.
+    """
+    theta = jnp.asarray(theta)
+    if theta_discretization:
+        ang = quantize_angles(theta[:, None] + offs[None, :],
+                              theta_discretization)
+        return jnp.cos(ang), jnp.sin(ang)
+    cth = jnp.cos(theta)[:, None]
+    sth = jnp.sin(theta)[:, None]
+    cd = jnp.cos(offs)[None, :]
+    sd = jnp.sin(offs)[None, :]
+    return cth * cd - sth * sd, sth * cd + cth * sd
+
+
 def rays_from_poses(poses, num_beams: int, fov: float,
                     theta_discretization: int = 0):
     """poses (..., 3) -> (batch_shape, poses2 (N,3), xb, yb, ct, st) with
@@ -38,11 +68,10 @@ def rays_from_poses(poses, num_beams: int, fov: float,
     poses = jnp.asarray(poses)
     batch = poses.shape[:-1]
     poses2 = poses.reshape(-1, 3)
-    ang = poses2[:, 2:3] + beam_angles(num_beams, fov)
-    ang = quantize_angles(ang, theta_discretization)
-    ct, st = jnp.cos(ang), jnp.sin(ang)
-    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
-    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
+    ct, st = fan_cos_sin(poses2[:, 2], beam_angles(num_beams, fov),
+                         theta_discretization)
+    xb = jnp.broadcast_to(poses2[:, 0:1], ct.shape)
+    yb = jnp.broadcast_to(poses2[:, 1:2], ct.shape)
     return batch, poses2, xb, yb, ct, st
 
 

@@ -763,24 +763,30 @@ def _auto_agent_chunk(a_n: int, nblk: int, k: int, mode: str) -> int:
     return balanced(cap)
 
 
-def _scan_chunk(smap, poses2, num_beams, fov, max_range, theta_disc, bb,
-                auto_chunk, use_pallas, interpret, grp, mode):
-    """Fan build -> raycast -> extent mask for one (A, 3) pose chunk."""
-    from .common import beam_angles, quantize_angles, apply_extent_mask
-    # Generate the beam fan at the PADDED width (edge-replicated offsets):
-    # padding six (A, B) ray arrays inside the raycast instead costs real
-    # HBM copies every scan — measured 46% of the flagship ray budget
-    # (docs/BOTTLENECK.md); padding the (B,) offset row is free.
+def _padded_offsets(num_beams, fov, bb):
+    """The (B_padded,) beam-offset row: padding the offset row is free
+    vs real HBM copies for six (A, B) ray arrays inside the raycast
+    (docs/BOTTLENECK.md — 46% of the flagship ray budget)."""
+    from .common import beam_angles
     nblk = -(-num_beams // bb)
     b_pad = nblk * bb - num_beams
     offs = beam_angles(num_beams, fov)
     if b_pad:
         offs = jnp.concatenate(
             [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
-    ang = quantize_angles(poses2[:, 2:3] + offs[None, :], theta_disc)
-    ct, st = jnp.cos(ang), jnp.sin(ang)
-    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
-    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
+    return offs
+
+
+def _scan_chunk(smap, poses2, ct, st, num_beams, max_range, bb,
+                auto_chunk, use_pallas, interpret, grp, mode):
+    """Raycast + extent mask for one (A, 3) pose chunk whose beam fan
+    (ct, st) was built OUTSIDE the chunk loop — one fusion context, so
+    chunked and unchunked execution stay bit-identical (XLA may
+    contract the rotation fan's mul-sub into FMAs differently per
+    fusion context otherwise; measured on CPU)."""
+    from .common import apply_extent_mask
+    xb = jnp.broadcast_to(poses2[:, 0:1], ct.shape)
+    yb = jnp.broadcast_to(poses2[:, 1:2], ct.shape)
     r = raycast_sectors(
         sector_table_arg(smap, mode), smap.meta, smap.tiles_shape,
         smap.tile_size, smap.tile_origin, smap.ns, smap.kv_sec,
@@ -841,20 +847,29 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
     if agent_chunk is None:
         agent_chunk = _auto_agent_chunk(a_n, nblk, smap.table.shape[2],
                                         mode)
-    args = (smap, num_beams, fov, max_range, theta_discretization, bb,
-            auto_chunk, use_pallas, interpret, grp, mode)
+    from .common import fan_cos_sin
+    offs = _padded_offsets(num_beams, fov, bb)
+    # the fan is built ONCE for the whole batch (see _scan_chunk note)
+    ct, st = fan_cos_sin(poses2[:, 2], offs, theta_discretization)
+    args = (smap, num_beams, max_range, bb, auto_chunk, use_pallas,
+            interpret, grp, mode)
     if agent_chunk and a_n > agent_chunk:
         nc = -(-a_n // agent_chunk)
         pad = nc * agent_chunk - a_n
         if pad:
-            poses2 = jnp.concatenate(
-                [poses2, jnp.broadcast_to(poses2[-1:], (pad, 3))])
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+            poses2, ct, st = rep(poses2), rep(ct), rep(st)
+        bp = ct.shape[1]
         r = jax.lax.map(
-            lambda p: _scan_chunk(args[0], p, *args[1:]),
-            poses2.reshape(nc, agent_chunk, 3))
+            lambda sl: _scan_chunk(args[0], sl[0], sl[1], sl[2],
+                                   *args[1:]),
+            (poses2.reshape(nc, agent_chunk, 3),
+             ct.reshape(nc, agent_chunk, bp),
+             st.reshape(nc, agent_chunk, bp)))
         r = r.reshape(nc * agent_chunk, num_beams)[:a_n]
     else:
-        r = _scan_chunk(args[0], poses2, *args[1:])
+        r = _scan_chunk(args[0], poses2, ct, st, *args[1:])
     return r.reshape(*batch, num_beams)
 
 
@@ -883,7 +898,7 @@ def scan_poses_sectors_mapgrad(smap, edf, resolution, origin_xy, poses,
     ``bounds_hw``: real (h, w) if ``edf`` is padded.
     """
     from .raymarch_diff import with_map_gradient
-    from .common import beam_angles, quantize_angles, apply_extent_mask
+    from .common import beam_angles, fan_cos_sin, apply_extent_mask
     bb = sector_block_width(smap, num_beams, fov, bb)
     nblk = -(-num_beams // bb)
     b_pad = nblk * bb - num_beams
@@ -894,11 +909,9 @@ def scan_poses_sectors_mapgrad(smap, edf, resolution, origin_xy, poses,
     if b_pad:
         offs = jnp.concatenate(
             [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
-    ang = quantize_angles(poses2[:, 2:3] + offs[None, :],
-                          theta_discretization)
-    ct, st = jnp.cos(ang), jnp.sin(ang)
-    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
-    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
+    ct, st = fan_cos_sin(poses2[:, 2], offs, theta_discretization)
+    xb = jnp.broadcast_to(poses2[:, 0:1], ct.shape)
+    yb = jnp.broadcast_to(poses2[:, 1:2], ct.shape)
     r = raycast_sectors(
         smap.table, smap.meta, smap.tiles_shape, smap.tile_size,
         smap.tile_origin, smap.ns, smap.kv_sec, poses2[:, 0], poses2[:, 1],
@@ -1067,45 +1080,44 @@ def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
     if agent_chunk is None:
         agent_chunk = _auto_agent_chunk(a_n, nblk, stack.table.shape[2],
                                         mode)
-    args = (stack, num_beams, fov, max_range, theta_discretization, bb,
-            auto_chunk, interpret, mode)
+    from .common import fan_cos_sin
+    offs = _padded_offsets(num_beams, fov, bb)
+    # fan built ONCE for the whole batch (see _scan_chunk note)
+    ct, st = fan_cos_sin(poses2[:, 2], offs, theta_discretization)
+    args = (stack, num_beams, max_range, bb, auto_chunk, interpret, mode)
     if agent_chunk and a_n > agent_chunk:
         nc = -(-a_n // agent_chunk)
         pad = nc * agent_chunk - a_n
         if pad:
-            poses2 = jnp.concatenate(
-                [poses2, jnp.broadcast_to(poses2[-1:], (pad, 3))])
-            mid = jnp.concatenate(
-                [mid, jnp.broadcast_to(mid[-1:], (pad,))])
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+            poses2, mid, ct, st = (rep(poses2), rep(mid), rep(ct),
+                                   rep(st))
+        bp = ct.shape[1]
         r = jax.lax.map(
-            lambda pm: _scan_chunk_multi(args[0], pm[0], pm[1],
-                                         *args[1:]),
+            lambda sl: _scan_chunk_multi(args[0], sl[0], sl[1], sl[2],
+                                         sl[3], *args[1:]),
             (poses2.reshape(nc, agent_chunk, 3),
-             mid.reshape(nc, agent_chunk)))
+             mid.reshape(nc, agent_chunk),
+             ct.reshape(nc, agent_chunk, bp),
+             st.reshape(nc, agent_chunk, bp)))
         r = r.reshape(nc * agent_chunk, num_beams)[:a_n]
     else:
-        r = _scan_chunk_multi(args[0], poses2, mid, *args[1:])
+        r = _scan_chunk_multi(args[0], poses2, mid, ct, st, *args[1:])
     return r.reshape(*batch, num_beams)
 
 
-def _scan_chunk_multi(stack, poses2, mid, num_beams, fov, max_range,
-                      theta_disc, bb, auto_chunk, interpret, mode):
-    """Fan build -> stacked raycast -> per-agent extent mask for one
-    (A, 3) pose chunk of the multi-track path (chunking bounds the
+def _scan_chunk_multi(stack, poses2, mid, ct, st, num_beams, max_range,
+                      bb, auto_chunk, interpret, mode):
+    """Stacked raycast + per-agent extent mask for one (A, 3) pose
+    chunk; the fan (ct, st) rides in pre-built (chunking bounds the
     fused kernel's per-row ids scalar-prefetch SMEM exactly as in
-    ``scan_poses_sectors``; code-review r5)."""
-    from .common import beam_angles, quantize_angles
-    nblk = -(-num_beams // bb)
-    b_pad = nblk * bb - num_beams
-    offs = beam_angles(num_beams, fov)
-    if b_pad:
-        offs = jnp.concatenate(
-            [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
-    ang = quantize_angles(poses2[:, 2:3] + offs[None, :], theta_disc)
-    ct, st = jnp.cos(ang), jnp.sin(ang)
+    ``scan_poses_sectors``, and the shared fan keeps chunked execution
+    bit-identical; code-review r5)."""
+    nblk = ct.shape[1] // bb
     a_n = poses2.shape[0]
-    xb = jnp.broadcast_to(poses2[:, 0:1], ang.shape)
-    yb = jnp.broadcast_to(poses2[:, 1:2], ang.shape)
+    xb = jnp.broadcast_to(poses2[:, 0:1], ct.shape)
+    yb = jnp.broadcast_to(poses2[:, 1:2], ct.shape)
     ids, inside = stack_block_ids(stack, mid, poses2[:, 0], poses2[:, 1],
                                   ct, st, num_beams, bb)
     shp = (a_n, nblk, bb)

@@ -114,10 +114,10 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
             if pad_l:
                 offs = jnp.concatenate(
                     [offs, jnp.broadcast_to(offs[-1:], (pad_l,))])
-        ang = poses[:, 2:3] + offs[None, :]
-        ct, st = jnp.cos(ang), jnp.sin(ang)
-        xb = jnp.broadcast_to(x, ang.shape)
-        yb = jnp.broadcast_to(y, ang.shape)
+        from ..ops.common import fan_cos_sin
+        ct, st = fan_cos_sin(poses[:, 2], offs)
+        xb = jnp.broadcast_to(x, ct.shape)
+        yb = jnp.broadcast_to(y, ct.shape)
         if is_sector:
             r = raycast_sectors(
                 sector_table_arg(m, sec_mode), m.meta, m.tiles_shape,
@@ -228,7 +228,7 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
     offs_full = beam_angles(num_beams, float(sc.fov))
     cos_full, dist_full = ttc_tables(num_beams, float(sc.fov), car)
 
-    from ..ops.common import quantize_angles, apply_extent_mask
+    from ..ops.common import fan_cos_sin, apply_extent_mask
     theta_disc = (int(sc.theta_discretization) if sc.use_theta_table else 0)
     # the map pytree (stack / sector map / segment map) rides through
     # shard_map as a REPLICATED traced argument, never a closure: a
@@ -265,11 +265,9 @@ def make_sharded_step(mesh: Mesh, bundle, with_noise: bool = False,
             if pad_l:
                 offs_l = jnp.concatenate(
                     [offs, jnp.broadcast_to(offs[-1:], (pad_l,))])
-        ang = quantize_angles(new.theta[:, None] + offs_l[None, :],
-                              theta_disc)
-        ct, st = jnp.cos(ang), jnp.sin(ang)
-        xb = jnp.broadcast_to(sx[:, None], ang.shape)
-        yb = jnp.broadcast_to(sy[:, None], ang.shape)
+        ct, st = fan_cos_sin(new.theta, offs_l, theta_disc)
+        xb = jnp.broadcast_to(sx[:, None], ct.shape)
+        yb = jnp.broadcast_to(sy[:, None], ct.shape)
         if is_stack:
             ids, inside = _stack_ids(m, mid, sx, sy, ct, st, b_loc, bb)
             a_loc = ct.shape[0]

@@ -163,13 +163,13 @@ def make_ring_scan(mesh: Mesh, smap, num_beams: int, fov: float,
         if pad_l:
             offs = jnp.concatenate(
                 [offs, jnp.broadcast_to(offs[-1:], (pad_l,))])
-        ang = poses[:, 2:3] + offs[None, :]
-        ct, st = jnp.cos(ang), jnp.sin(ang)
-        xb = jnp.broadcast_to(x0[:, None], ang.shape)
-        yb = jnp.broadcast_to(y0[:, None], ang.shape)
+        from ..ops.common import fan_cos_sin
+        ct, st = fan_cos_sin(poses[:, 2], offs)
+        xb = jnp.broadcast_to(x0[:, None], ct.shape)
+        yb = jnp.broadcast_to(y0[:, None], ct.shape)
         ids = _list_ids(smap.tiles_shape, smap.tile_size, smap.tile_origin,
                         ns, x0, y0, ct, st, bb)          # (A_loc, NBLK)
-        a_n, bp = ang.shape
+        a_n, bp = ct.shape
         nblk = bp // bb
         shp = lambda v: v.reshape(a_n * nblk, bb)
         r = _ring_raycast(slab, ids.reshape(-1), shp(xb), shp(yb),
