@@ -48,6 +48,11 @@ def compute_steer_vel(steer_des, steer, p: CarParams,
     differentiable inside. ``kp`` defaults to
     2*max_steer_vel/max_steer_angle (saturates at half the steering
     range)."""
+    if mode not in ("bang", "smooth"):
+        raise ValueError(
+            f"steer_mode must be 'bang' or 'smooth' (got {mode!r}) — a "
+            "typo here would silently reproduce the zero-gradient "
+            "bang-bang training failure")
     dif = steer_des - steer
     if mode == "smooth":
         if kp is None:

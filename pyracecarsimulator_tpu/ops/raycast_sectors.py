@@ -479,7 +479,8 @@ _AUTO_KIND = "sorted_plf"   # round 5: fused-gather kernel (berlin 7.3e8
 
 def resolve_sector_mode(mode: str, k: int, bb: int,
                         interpret: bool = False,
-                        kv: int | None = None) -> tuple:
+                        kv: int | None = None,
+                        has_ck: bool = True) -> tuple:
     """Resolve "auto" to a concrete (mode, chunk | None) for a table of
     capacity ``k`` swept in ``bb``-beam blocks.
 
@@ -517,6 +518,11 @@ def resolve_sector_mode(mode: str, k: int, bb: int,
     both_orient = kv is None or (kv >= 8 and k - kv >= 8)
     if (k >= _AUTO_MIN_K and bb == 128 and both_orient and not interpret
             and jax.default_backend() == "tpu"):
+        if not has_ck:
+            # a map without the fused-kernel layout (pre-round-5 pickle)
+            # degrades to the round-4 kernel instead of erroring
+            # (code-review r5): same values, ~4.7e8 vs 7.3e8 on berlin
+            return f"sorted_pl@{_AUTO_TR}", _AUTO_CHUNK
         return f"{_AUTO_KIND}@{_AUTO_TR}", _AUTO_CHUNK
     return "dense", None
 
@@ -754,7 +760,12 @@ def _auto_agent_chunk(a_n: int, nblk: int, k: int, mode: str) -> int:
         return min(cap, -(-(-(-a_n // nc)) // 128) * 128)
 
     if mode.startswith("sorted_plf"):
-        return balanced(8192)
+        # scalar-prefetch SMEM holds chunk*nblk int32 ids (1 MB budget;
+        # 295k rows measured to overflow). 73728 rows = the measured-good
+        # 8192x9 flagship point, scaled down for wider beam configs.
+        rows_cap = 73728
+        return balanced(max(128, (rows_cap // max(nblk, 1))
+                            // 128 * 128))
     per_agent = nblk * 4 * k * 4.0          # (NBLK, 4, K) f32 rows
     if mode.startswith("sorted_pl"):
         per_agent *= 3.0                    # + slot-major transpose bufs
@@ -838,7 +849,8 @@ def scan_poses_sectors(smap, poses, num_beams: int = 1080,
         mode, auto_chunk = "dense", None
     else:
         mode, auto_chunk = resolve_sector_mode(
-            mode, smap.table.shape[2], bb, bool(interpret), smap.kv_sec)
+            mode, smap.table.shape[2], bb, bool(interpret), smap.kv_sec,
+            getattr(smap, "table_ck", None) is not None)
     poses = jnp.asarray(poses)
     batch = poses.shape[:-1]
     poses2 = poses.reshape(-1, 3)
@@ -898,17 +910,12 @@ def scan_poses_sectors_mapgrad(smap, edf, resolution, origin_xy, poses,
     ``bounds_hw``: real (h, w) if ``edf`` is padded.
     """
     from .raymarch_diff import with_map_gradient
-    from .common import beam_angles, fan_cos_sin, apply_extent_mask
+    from .common import fan_cos_sin, apply_extent_mask
     bb = sector_block_width(smap, num_beams, fov, bb)
-    nblk = -(-num_beams // bb)
-    b_pad = nblk * bb - num_beams
     poses = jnp.asarray(poses)
     batch = poses.shape[:-1]
     poses2 = poses.reshape(-1, 3)
-    offs = beam_angles(num_beams, fov)
-    if b_pad:
-        offs = jnp.concatenate(
-            [offs, jnp.broadcast_to(offs[-1:], (b_pad,))])
+    offs = _padded_offsets(num_beams, fov, bb)
     ct, st = fan_cos_sin(poses2[:, 2], offs, theta_discretization)
     xb = jnp.broadcast_to(poses2[:, 0:1], ct.shape)
     yb = jnp.broadcast_to(poses2[:, 1:2], ct.shape)
@@ -1069,8 +1076,9 @@ def scan_poses_sectors_multi(stack, map_ids, poses, num_beams: int = 1080,
     bb = sector_block_width(stack, num_beams, fov, bb)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    mode, auto_chunk = resolve_sector_mode(mode, stack.table.shape[2], bb,
-                                           bool(interpret), stack.kv_sec)
+    mode, auto_chunk = resolve_sector_mode(
+        mode, stack.table.shape[2], bb, bool(interpret), stack.kv_sec,
+        getattr(stack, "table_ck", None) is not None)
     poses = jnp.asarray(poses)
     batch = poses.shape[:-1]
     poses2 = poses.reshape(-1, 3)

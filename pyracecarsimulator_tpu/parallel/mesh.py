@@ -109,7 +109,10 @@ def make_sharded_scan(mesh: Mesh, segments_or_map, num_beams: int,
         b_loc = offs.shape[0]
         if is_sector:
             # pad the offset row to the block width up front — free, vs
-            # real HBM copies for six (A, B) arrays (docs/BOTTLENECK.md)
+            # real HBM copies for six (A, B) arrays (docs/BOTTLENECK.md);
+            # edge-replication matches ops.raycast_sectors._padded_offsets
+            # (the sharded wedge length b_loc differs from num_beams, so
+            # the pad is computed on the local slice)
             pad_l = (-b_loc) % bb
             if pad_l:
                 offs = jnp.concatenate(

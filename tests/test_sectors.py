@@ -662,3 +662,35 @@ def test_multi_agent_chunked_matches_unchunked(blobby_bigk):
     r0 = scan_poses_sectors_multi(stack, mids, poses, agent_chunk=0, **kw)
     r1 = scan_poses_sectors_multi(stack, mids, poses, agent_chunk=7, **kw)
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+
+def test_resolve_auto_tpu_branches(monkeypatch):
+    """Pin the TPU-side auto resolution ladder (the CPU suite can't hit
+    it otherwise): fused kernel at K>=112 with a table_ck; round-4
+    kernel fallback without one; dense for single-orientation tables
+    and for K below the crossover (code-review r5)."""
+    from pyracecarsimulator_tpu.ops import raycast_sectors as rs
+    monkeypatch.setattr(rs.jax, "default_backend", lambda: "tpu")
+    assert rs.resolve_sector_mode("auto", 496, 128, False, 248)[0] \
+        == "sorted_plf@128"
+    assert rs.resolve_sector_mode("auto", 496, 128, False, 248,
+                                  has_ck=False)[0] == "sorted_pl@128"
+    assert rs.resolve_sector_mode("auto", 496, 128, False, 0)[0] \
+        == "dense"                       # single-orientation
+    assert rs.resolve_sector_mode("auto", 96, 128, False, 48)[0] \
+        == "dense"                       # below the measured crossover
+    assert rs.resolve_sector_mode("auto", 496, 64, False, 248)[0] \
+        == "dense"                       # non-128 block width
+    assert rs.resolve_sector_mode("auto", 496, 128, True, 248)[0] \
+        == "dense"                       # interpret-mode debug run
+
+
+def test_auto_chunk_scales_with_beam_blocks():
+    """The fused-kernel chunk cap respects the ids SMEM budget for wide
+    beam configs (code-review r5): chunk * nblk stays within the
+    measured-good 73728-row point."""
+    from pyracecarsimulator_tpu.ops.raycast_sectors import (
+        _auto_agent_chunk)
+    for nblk in (9, 18, 32):
+        c = _auto_agent_chunk(100000, nblk, 496, "sorted_plf@128")
+        assert c * nblk <= 73728 and c % 128 == 0
